@@ -1,0 +1,226 @@
+"""Typed configuration tree — single source of truth for every stage.
+
+Replaces the reference's three config tiers (config.yaml defaults, argparse
+overrides, and modules silently re-reading config.yaml themselves —
+/root/reference/cgan/cgan_train_enhanced.py:140-168,
+/root/reference/cgan/models.py:94-99,228-233, /root/reference/cgan/dataset.py:34-42)
+with one dataclass tree: YAML/dict load, dotted-path CLI overrides, no hidden
+globals.  Defaults mirror /root/reference/cgan/config.yaml:1-47 plus the
+pipeline constants at the top of the reference scripts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+
+@dataclass
+class EarlyStopConfig:
+    """Early-stop on validation delta-IoU (config.yaml:22-24)."""
+
+    patience: int = 20
+    min_delta: float = 1.0e-5
+
+
+@dataclass
+class MeshConfig:
+    """TPU device mesh. ``data`` axis is the first-class parallelism axis
+    (SURVEY.md: DP is the scale dimension for this workload)."""
+
+    data_axis: str = "data"
+    num_devices: int | None = None  # None = all visible devices
+
+
+@dataclass
+class CalibratorModelConfig:
+    """Generator/critic architecture (config.yaml:19-21, models.py)."""
+
+    generator_type: str = "unet"  # "unet" | "simple"
+    delta_scale: float = 0.3
+    spectral_norm: bool = True
+    base_channels: int = 64
+    dropout: float = 0.5
+
+
+@dataclass
+class CalibratorDataConfig:
+    """Calibrator pair dataset (config.yaml:5,30-31; dataset.py)."""
+
+    data_dir: str = ""
+    img_size: int = 128
+    iou_threshold: float = 0.25
+    train_split: float = 0.8
+    val_split: float = 0.2
+    # Side length of the on-device full-image canvas used for differentiable
+    # refined-patch crops (rebuild-specific; reference re-crops on host).
+    canvas_size: int = 448
+
+
+@dataclass
+class CalibratorTrainConfig:
+    """WGAN-GP training loop (config.yaml:6-10,33-35; cgan_train_enhanced.py)."""
+
+    batch_size: int = 128
+    n_epochs: int = 500
+    lr: float = 2.0e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    lambda_iou: float = 1.0
+    lambda_gp: float = 1.0
+    n_critic: int = 2
+    grad_clip_norm: float = 1.0
+    # ReduceLROnPlateau(mode=max, factor, patience) on delta-IoU
+    # (cgan_train_enhanced.py:260-261)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 5
+    early_stop: EarlyStopConfig = field(default_factory=EarlyStopConfig)
+    seed: int = 42
+    save_dir: str = "runs/exp"
+    # Compute dtype for conv stacks; params stay f32 (TPU-first: bf16 MXU).
+    compute_dtype: str = "bfloat16"
+    # True (rebuild default): the on-device differentiable refined crop lets
+    # the adversarial term train G.  False: stop-gradient through the crop,
+    # reproducing the reference's dead adversarial gradient
+    # (cgan_train_enhanced.py:358-362, see SURVEY.md §3.4).
+    adversarial_gradient: bool = True
+    # Sigmoid edge blend width (source px) for training-time crops; 0 = hard.
+    crop_edge_softness: float = 1.0
+    sample_every_epochs: int = 10
+
+
+@dataclass
+class PseudoLabelConfig:
+    """Two-stage + k-fold pseudo-labeling thresholds
+    (Two-stage pseudo-labeling.py:7-13, kfold_train_and_pseudo.py:23-31)."""
+
+    conf_high: float = 0.85
+    conf_low: float = 0.40
+    overlap_thr: float = 0.35
+    iou_nms: float = 0.4
+    kfolds: int = 5
+    kfold_conf: float = 0.1
+    kfold_iou_nms: float = 0.9
+    tta: bool = True
+    class_filter: list[int] | None = None
+
+
+@dataclass
+class DetectorConfig:
+    """Single-class detector (replaces Ultralytics YOLOv8 usage in
+    train.py:11-22, kfold_train_and_pseudo.py:94-107)."""
+
+    img_size: int = 640
+    num_classes: int = 1
+    epochs: int = 400
+    batch_size: int = 32
+    patience: int = 20
+    lr: float = 1.0e-3
+    weight_decay: float = 5.0e-4
+    warmup_epochs: int = 3
+    width_mult: float = 0.5   # "s"-scale
+    depth_mult: float = 0.33
+    max_boxes: int = 100      # static per-image box budget
+    conf_thr: float = 0.25
+    nms_iou: float = 0.45
+    seed: int = 42
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass
+class SSLClassifierConfig:
+    """Classification GAN-SSL (BASELINE.json configs: K+1-class D,
+    feature matching, temperature-scaled calibration)."""
+
+    dataset: str = "cifar10"
+    num_classes: int = 10
+    num_labeled: int = 4000
+    img_size: int = 32
+    latent_dim: int = 100
+    batch_size: int = 128
+    epochs: int = 300
+    lr: float = 3.0e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    feature_matching_weight: float = 1.0
+    temperature_scaling: bool = True
+    seed: int = 42
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass
+class PipelineConfig:
+    """Filesystem layout of the four-stage loop (SURVEY.md §0)."""
+
+    dataset_root: str = "datasets/500_100_100"
+    labeled_counts: list[int] = field(default_factory=lambda: [500, 100, 100])
+    split_seed: int = 42
+    class_names: list[str] = field(default_factory=lambda: ["person"])
+
+
+@dataclass
+class CalibratorConfig:
+    """Everything the calibrator stage needs (stage 3 of the pipeline)."""
+
+    model: CalibratorModelConfig = field(default_factory=CalibratorModelConfig)
+    data: CalibratorDataConfig = field(default_factory=CalibratorDataConfig)
+    train: CalibratorTrainConfig = field(default_factory=CalibratorTrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def config_to_dict(cfg: Any) -> Any:
+    if is_dataclass(cfg):
+        return {f.name: config_to_dict(getattr(cfg, f.name)) for f in fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [config_to_dict(v) for v in cfg]
+    return cfg
+
+
+def config_from_dict(cls: type, data: dict[str, Any]) -> Any:
+    """Build a dataclass tree from a (possibly partial) nested dict."""
+    kwargs = {}
+    valid = {f.name: f for f in fields(cls)}
+    for key, value in (data or {}).items():
+        if key not in valid:
+            raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
+        ftype = valid[key].type
+        default = valid[key].default_factory() if valid[key].default_factory is not dataclasses.MISSING else None  # type: ignore[misc]
+        if is_dataclass(default) and isinstance(value, dict):
+            kwargs[key] = config_from_dict(type(default), value)
+        else:
+            kwargs[key] = value
+        del ftype
+    return cls(**kwargs)
+
+
+def load_config(path: str | Path, cls: type = CalibratorConfig) -> Any:
+    """Load a YAML file into a typed config tree."""
+    with open(path, "r", encoding="utf-8") as f:
+        data = yaml.safe_load(f) or {}
+    return config_from_dict(cls, data)
+
+
+def apply_overrides(cfg: Any, overrides: dict[str, Any]) -> Any:
+    """Apply dotted-path overrides, e.g. {"train.lr": 1e-4}. Returns a copy."""
+    out = cfg
+    for dotted, value in overrides.items():
+        parts = dotted.split(".")
+        out = _set_path(out, parts, value)
+    return out
+
+
+def _set_path(cfg: Any, parts: list[str], value: Any) -> Any:
+    name = parts[0]
+    if not hasattr(cfg, name):
+        raise KeyError(f"unknown config path segment {name!r} on {type(cfg).__name__}")
+    if len(parts) == 1:
+        current = getattr(cfg, name)
+        if current is not None and not is_dataclass(current):
+            value = type(current)(value) if not isinstance(value, type(current)) else value
+        return dataclasses.replace(cfg, **{name: value})
+    child = _set_path(getattr(cfg, name), parts[1:], value)
+    return dataclasses.replace(cfg, **{name: child})

@@ -1,0 +1,201 @@
+"""Detector orchestration: train with early stopping on val mAP50, batched
+prediction to YOLO-txt trees.
+
+Replaces the reference's Ultralytics calls:
+* training — /root/reference/train.py:11-22 (imgsz 640, epochs 400,
+  patience 20, batch 32, early-stopped on fitness)
+* prediction — /root/reference/Two-stage pseudo-labeling.py:50,79 and
+  kfold_train_and_pseudo.py:115-128 (save_txt, save_conf)
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gcssl_tpu.core.config import DetectorConfig
+from gcssl_tpu.data.detection import (
+    DetectionArrays,
+    load_detection_tree,
+    map_boxes_from_letterbox,
+)
+from gcssl_tpu.data.yolo import save_yolo_txt
+from gcssl_tpu.eval.map import DetMetrics, evaluate_detections
+from gcssl_tpu.train.detector import (
+    create_detector_state,
+    make_detector_predict,
+    make_detector_train_step,
+)
+
+
+def _batches(n, bs, rng=None):
+    order = rng.permutation(n) if rng is not None else np.arange(n)
+    nb = max(1, -(-n // bs))
+    padded = np.resize(order, nb * bs)
+    w = np.zeros(nb * bs, np.float32)
+    w[:n] = 1.0
+    for b in range(nb):
+        sl = slice(b * bs, (b + 1) * bs)
+        yield padded[sl].astype(np.int32), w[sl]
+
+
+def predict_arrays(
+    predict_fn,
+    params,
+    arrays: DetectionArrays,
+    conf_thr: float,
+    iou_thr: float,
+    tta: bool = False,
+    batch_size: int = 16,
+):
+    """Run batched prediction; returns per-image (boxes cxcywh letterboxed
+    frame, scores) lists."""
+    out_boxes, out_scores = [], []
+    n = len(arrays)
+    for idx, w in _batches(n, batch_size):
+        imgs = jnp.asarray(arrays.images[idx])
+        boxes, scores, valid = jax.device_get(
+            predict_fn(params, imgs, conf_thr, iou_thr, tta)
+        )
+        for k in range(len(idx)):
+            if w[k] == 0:
+                continue
+            v = valid[k]
+            out_boxes.append(boxes[k][v])
+            out_scores.append(scores[k][v])
+    return out_boxes, out_scores
+
+
+def evaluate_on(predict_fn, params, arrays: DetectionArrays,
+                conf_thr: float = 0.001, iou_thr: float = 0.7) -> DetMetrics:
+    pred_boxes, pred_scores = predict_arrays(
+        predict_fn, params, arrays, conf_thr, iou_thr
+    )
+    gts = [arrays.boxes[i][arrays.mask[i]] for i in range(len(arrays))]
+    return evaluate_detections(pred_boxes, pred_scores, gts)
+
+
+def train_detector(
+    cfg: DetectorConfig,
+    train_arrays: DetectionArrays,
+    val_arrays: DetectionArrays | None = None,
+    save_dir: str | Path | None = None,
+    log_fn=None,
+    max_epochs: int | None = None,
+):
+    """Epoch loop with warmup+cosine LR and early stop on val mAP50
+    (patience from config, mirroring Ultralytics' patience=20)."""
+    from gcssl_tpu.core.checkpoint import CheckpointManager
+
+    state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(cfg.seed))
+    step_fn = make_detector_train_step(cfg, model, tx)
+    predict_fn = make_detector_predict(cfg, model)
+
+    n = len(train_arrays)
+    rng = np.random.default_rng(cfg.seed)
+    images = jnp.asarray(train_arrays.images)
+    gt_boxes = jnp.asarray(train_arrays.boxes)
+    gt_mask = jnp.asarray(train_arrays.mask)
+
+    steps_per_epoch = max(1, -(-n // cfg.batch_size))
+    n_epochs = max_epochs or cfg.epochs
+    warmup = cfg.warmup_epochs * steps_per_epoch
+    total = n_epochs * steps_per_epoch
+
+    def lr_at(step):
+        if step < warmup:
+            return cfg.lr * (step + 1) / max(1, warmup)
+        t = (step - warmup) / max(1, total - warmup)
+        return cfg.lr * 0.5 * (1 + np.cos(np.pi * t))
+
+    ckpt = CheckpointManager(save_dir) if save_dir else None
+    history = []
+    best_map50, bad_epochs = -1.0, 0
+    gstep = 0
+    for epoch in range(1, n_epochs + 1):
+        accum = []
+        for idx, w in _batches(n, cfg.batch_size, rng):
+            state, metrics = step_fn(
+                state,
+                images[jnp.asarray(idx)],
+                gt_boxes[jnp.asarray(idx)],
+                gt_mask[jnp.asarray(idx)],
+                jnp.asarray(w),
+                jnp.float32(lr_at(gstep)),
+            )
+            accum.append(metrics)
+            gstep += 1
+        fetched = jax.device_get(accum)
+        rec = {
+            "epoch": epoch,
+            "lr": lr_at(gstep - 1),
+            **{k: float(np.mean([m[k] for m in fetched])) for k in fetched[0]},
+        }
+        if val_arrays is not None:
+            m = evaluate_on(predict_fn, state.params, val_arrays)
+            rec.update(
+                map50=m.map50, map50_95=m.map50_95,
+                precision=m.precision, recall=m.recall,
+            )
+            if m.map50 > best_map50:
+                best_map50, bad_epochs = m.map50, 0
+                if ckpt:
+                    ckpt.save("best", jax.device_get(state),
+                              {"epoch": epoch, "map50": m.map50})
+            else:
+                bad_epochs += 1
+        history.append(rec)
+        if log_fn:
+            log_fn(rec)
+        if val_arrays is not None and bad_epochs >= cfg.patience:
+            break
+
+    if ckpt:
+        ckpt.save("last", jax.device_get(state), {"epoch": history[-1]["epoch"]})
+        (Path(save_dir) / "results.json").write_text(json.dumps(history, indent=2))
+    return state, model, history
+
+
+def predict_to_tree(
+    cfg: DetectorConfig,
+    predict_fn,
+    params,
+    images_dir: str | Path,
+    out_labels_dir: str | Path,
+    conf_thr: float,
+    iou_thr: float,
+    tta: bool = False,
+    image_list=None,
+    save_conf: bool = True,
+) -> int:
+    """Predict a directory (or list) of images and write YOLO txt files in
+    the ORIGINAL image frame (inverse letterbox), with confidences —
+    the save_txt/save_conf contract of the reference's Ultralytics calls."""
+    arrays = load_detection_tree(
+        images_dir, cfg.img_size, cfg.max_boxes,
+        labels_dir="/nonexistent", image_list=image_list,
+    )
+    pred_boxes, pred_scores = predict_arrays(
+        predict_fn, params, arrays, conf_thr, iou_thr, tta
+    )
+    out_labels_dir = Path(out_labels_dir)
+    total = 0
+    for i, name in enumerate(arrays.names):
+        w, h = arrays.orig_wh[i]
+        boxes = map_boxes_from_letterbox(pred_boxes[i], float(w), float(h))
+        boxes = np.clip(boxes, 0.0, 1.0)
+        keep = (boxes[:, 2] > 0) & (boxes[:, 3] > 0)
+        boxes, scores = boxes[keep], pred_scores[i][keep]
+        save_yolo_txt(
+            out_labels_dir / f"{name}.txt",
+            np.zeros(len(boxes), np.int32),
+            boxes,
+            scores if save_conf else None,
+        )
+        total += len(boxes)
+    return total

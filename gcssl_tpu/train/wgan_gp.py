@@ -1,0 +1,509 @@
+"""Fused WGAN-GP calibrator training: one jitted step does it all.
+
+The reference step (/root/reference/cgan/cgan_train_enhanced.py:288-374)
+crosses the host boundary 3x per step to re-crop refined patches with PIL
+(its dominant cost, SURVEY.md §3.4) and its adversarial term consequently
+carries no gradient into G.  Here the whole thing —
+
+    n_critic x [ D(pred, gt) vs D(pred, refined-crop(G(pred))),
+                 gradient penalty via jax.grad through D ]
+    + 1 x     [ EIoU regression + adversarial term through a
+                differentiable on-device refined crop ]
+
+— is ONE compiled XLA program.  Batches are gathered on device from the
+HBM-resident dataset (see data/calibrator.py), so steady-state training has
+no host->device traffic at all.  Data parallelism: params replicated, batch
+sharded over the mesh 'data' axis; XLA inserts the psum gradient all-reduce
+over ICI.
+
+Faithfulness switches (config):
+* ``adversarial_gradient=False`` stop-gradients the refined crop,
+  reproducing the reference's EIoU-only G training exactly.
+* ``crop_edge_softness=0`` makes training crops hard-edged like PIL.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from gcssl_tpu.core.config import CalibratorConfig
+from gcssl_tpu.models import PatchCritic, build_generator
+from gcssl_tpu.ops.boxes import (
+    delta_apply,
+    eiou_loss,
+    iou_elementwise,
+    smooth_clamp,
+)
+from gcssl_tpu.ops.patches import GRAY_FILL_NORM, crop_letterbox, normalize_patch
+
+
+class CalibratorTrainState(struct.PyTreeNode):
+    g_params: Any
+    d_params: Any
+    d_stats: Any          # spectral-norm power-iteration vectors
+    g_opt: Any
+    d_opt: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+class DeviceData(struct.PyTreeNode):
+    """HBM-resident dataset (uint8 patches/canvases + f32 targets)."""
+
+    pred_patch: jax.Array  # (N, S, S, 3) u8
+    gt_patch: jax.Array    # (N, S, S, 3) u8
+    delta: jax.Array       # (N, 4)
+    pred_box: jax.Array    # (N, 4)
+    canvas_idx: jax.Array  # (N,) i32
+    canvases: jax.Array    # (M, C, C, 3) u8
+    canvas_wh: jax.Array   # (M, 2)
+
+    @classmethod
+    def from_arrays(cls, arrays, indices=None) -> "DeviceData":
+        sl = slice(None) if indices is None else indices
+        return cls(
+            pred_patch=jnp.asarray(arrays.pred_patch[sl]),
+            gt_patch=jnp.asarray(arrays.gt_patch[sl]),
+            delta=jnp.asarray(arrays.delta[sl]),
+            pred_box=jnp.asarray(arrays.pred_box[sl]),
+            canvas_idx=jnp.asarray(arrays.canvas_idx[sl]),
+            canvases=jnp.asarray(arrays.canvases),
+            canvas_wh=jnp.asarray(arrays.canvas_wh),
+        )
+
+
+def _make_optimizer(clip_norm: float, b1: float, b2: float):
+    """clip-by-global-norm -> Adam direction; LR applied in-step (so the
+    host-side plateau scheduler can change it without recompiling)."""
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.scale_by_adam(b1=b1, b2=b2),
+    )
+
+
+def create_train_state(
+    cfg: CalibratorConfig, rng: jax.Array
+) -> tuple[CalibratorTrainState, Any, Any]:
+    """Initialize G, D, and both optimizers. Returns (state, g_model, d_model)."""
+    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    g_model = build_generator(cfg.model.generator_type, cfg.model.delta_scale, dtype)
+    d_model = PatchCritic(spectral_norm=cfg.model.spectral_norm, dtype=dtype)
+
+    rng, g_rng, d_rng = jax.random.split(rng, 3)
+    s = cfg.data.img_size
+    dummy = jnp.zeros((1, s, s, 3), jnp.float32)
+    g_vars = g_model.init(g_rng, dummy)
+    d_vars = d_model.init(d_rng, dummy, dummy)
+
+    tx = _make_optimizer(cfg.train.grad_clip_norm, cfg.train.beta1, cfg.train.beta2)
+    g_params = g_vars["params"]
+    d_params = d_vars["params"]
+    d_stats = d_vars.get("batch_stats", FrozenDict({}))
+    state = CalibratorTrainState(
+        g_params=g_params,
+        d_params=d_params,
+        d_stats=d_stats,
+        g_opt=tx.init(g_params),
+        d_opt=tx.init(d_params),
+        rng=rng,
+        step=jnp.asarray(0, jnp.int32),
+    )
+    return state, g_model, d_model
+
+
+def _refined_patches(
+    canvases: jax.Array,      # (B, C, C, 3) u8 gathered
+    canvas_wh: jax.Array,     # (B, 2) original (W, H)
+    pred_box: jax.Array,      # (B, 4) original-frame normalized
+    deltas: jax.Array,        # (B, 4)
+    pred_patch: jax.Array,    # (B, S, S, 3) normalized floats (fallback)
+    img_size: int,
+    edge_softness: float,
+    smooth: bool,
+) -> jax.Array:
+    """Differentiable twin of ``get_refined_patch_batch``
+    (/root/reference/cgan/cgan_train_enhanced.py:37-137).
+
+    Applies deltas, clamps the refined box (cx,cy in [0.1,0.9], w,h in
+    [0.05,0.8] — :81-84), crops from the letterboxed canvas with the true
+    image region as clip bounds, and falls back to the pred patch when the
+    crop would be degenerate (<10 px a side — :92-100).
+    """
+    refined = delta_apply(pred_box, deltas, training=smooth)
+    if smooth:
+        cx = smooth_clamp(refined[..., 0], 0.1, 0.9)
+        cy = smooth_clamp(refined[..., 1], 0.1, 0.9)
+        w = smooth_clamp(refined[..., 2], 0.05, 0.8)
+        h = smooth_clamp(refined[..., 3], 0.05, 0.8)
+    else:
+        cx = jnp.clip(refined[..., 0], 0.1, 0.9)
+        cy = jnp.clip(refined[..., 1], 0.1, 0.9)
+        w = jnp.clip(refined[..., 2], 0.05, 0.8)
+        h = jnp.clip(refined[..., 3], 0.05, 0.8)
+
+    W = canvas_wh[..., 0]
+    H = canvas_wh[..., 1]
+    # validity in original pixels (clipped rect at least 10 px a side)
+    x1 = jnp.maximum(0.0, (cx - w / 2) * W)
+    x2 = jnp.minimum(W, (cx + w / 2) * W)
+    y1 = jnp.maximum(0.0, (cy - h / 2) * H)
+    y2 = jnp.minimum(H, (cy + h / 2) * H)
+    valid = (x2 - x1 >= 10.0) & (y2 - y1 >= 10.0)
+
+    # original frame -> canvas frame (canvas = letterboxed square of side
+    # max(W, H) resized to canvas_size; see data/calibrator.py)
+    side = jnp.maximum(W, H)
+    pad_x = (side - W) / 2
+    pad_y = (side - H) / 2
+    c = canvases.shape[1]
+    box_c = jnp.stack(
+        [
+            (cx * W + pad_x) / side,
+            (cy * H + pad_y) / side,
+            w * W / side,
+            h * H / side,
+        ],
+        axis=-1,
+    )
+    # clip bounds: the true image region inside the canvas, in canvas pixels
+    k = c / side
+    bounds = jnp.stack([pad_x * k, pad_y * k, (pad_x + W) * k, (pad_y + H) * k], axis=-1)
+
+    def crop_one(canvas, box, bnd):
+        img = normalize_patch(canvas)
+        return crop_letterbox(
+            img, box, img_size,
+            fill=GRAY_FILL_NORM, edge_softness=edge_softness, bounds=bnd,
+        )
+
+    patches = jax.vmap(crop_one)(canvases, box_c, bounds)
+    return jnp.where(valid[:, None, None, None], patches, pred_patch)
+
+
+def make_train_step(cfg: CalibratorConfig, g_model, d_model):
+    """Build the single fused jitted G+D train step.
+
+    Signature: step(state, data: DeviceData, idx (B,), weights (B,), lr) ->
+    (state, metrics).  ``idx`` selects the batch from the resident dataset;
+    ``weights`` masks padded samples in the final partial batch.
+    """
+    tcfg = cfg.train
+    img_size = cfg.data.img_size
+    tx = _make_optimizer(tcfg.grad_clip_norm, tcfg.beta1, tcfg.beta2)
+
+    def wmean(x, w):
+        # masked mean over batch (+ any score-map dims)
+        extra = x.ndim - 1
+        wb = w.reshape(w.shape + (1,) * extra)
+        denom = jnp.maximum(jnp.sum(w), 1e-6) * np.prod(x.shape[1:]) if extra else jnp.maximum(jnp.sum(w), 1e-6)
+        return jnp.sum(x * wb) / denom
+
+    def d_apply(params, stats, a, b, update_stats=False):
+        variables = {"params": params, "batch_stats": stats}
+        if update_stats:
+            out, mut = d_model.apply(
+                variables, a, b, update_stats=True, mutable=["batch_stats"]
+            )
+            return out, mut["batch_stats"]
+        return d_model.apply(variables, a, b), stats
+
+    def gen_apply(params, x, rng, train: bool):
+        if train:
+            return g_model.apply(
+                {"params": params}, x, deterministic=False, rngs={"dropout": rng}
+            )
+        return g_model.apply({"params": params}, x)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: CalibratorTrainState, data: DeviceData, idx, weights, lr):
+        pred_patch = normalize_patch(data.pred_patch[idx])
+        gt_patch = normalize_patch(data.gt_patch[idx])
+        delta_true = data.delta[idx]
+        pred_box = data.pred_box[idx]
+        ci = data.canvas_idx[idx]
+        canvases = data.canvases[ci]
+        canvas_wh = data.canvas_wh[ci]
+
+        rng = state.rng
+        d_params, d_stats, d_opt = state.d_params, state.d_stats, state.d_opt
+        metrics = {
+            "loss_D": 0.0, "loss_gp": 0.0, "wasserstein_distance": 0.0,
+        }
+
+        # ---- critic updates (n_critic, unrolled at trace time) ----
+        for _ in range(tcfg.n_critic):
+            rng, drop_rng, alpha_rng = jax.random.split(rng, 3)
+            # fake inputs: G in train mode (dropout active), detached
+            delta_fake = jax.lax.stop_gradient(
+                gen_apply(state.g_params, pred_patch, drop_rng, train=True)
+            )
+            refined = jax.lax.stop_gradient(
+                _refined_patches(
+                    canvases, canvas_wh, pred_box, delta_fake, pred_patch,
+                    img_size, tcfg.crop_edge_softness,
+                    smooth=tcfg.adversarial_gradient,
+                )
+            )
+            alpha = jax.random.uniform(alpha_rng, (pred_patch.shape[0], 1, 1, 1))
+
+            def d_loss_fn(params, stats):
+                real, stats = d_apply(params, stats, pred_patch, gt_patch, update_stats=True)
+                fake, stats = d_apply(params, stats, pred_patch, refined, update_stats=True)
+                wd = wmean(real, weights) - wmean(fake, weights)
+
+                # gradient penalty (losses.py:185-232): joint grad norm over
+                # both interpolated inputs, target 1
+                ip = alpha * pred_patch + (1 - alpha) * pred_patch
+                io = alpha * gt_patch + (1 - alpha) * refined
+                ip = jax.lax.stop_gradient(ip)
+                io = jax.lax.stop_gradient(io)
+
+                def critic_sum(p_in, o_in):
+                    out, _ = d_apply(params, stats, p_in, o_in)
+                    return jnp.sum(out)
+
+                gp_p, gp_o = jax.grad(critic_sum, argnums=(0, 1))(ip, io)
+                gn = jnp.sqrt(
+                    jnp.sum(gp_p.reshape(gp_p.shape[0], -1) ** 2, axis=1)
+                    + jnp.sum(gp_o.reshape(gp_o.shape[0], -1) ** 2, axis=1)
+                    + 1e-12
+                )
+                gp = wmean((gn - 1.0) ** 2, weights)
+                loss = -wd + tcfg.lambda_gp * gp
+                return loss, (wd, gp, stats)
+
+            (d_loss, (wd, gp, d_stats)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(d_params, d_stats)
+            updates, d_opt = tx.update(d_grads, d_opt, d_params)
+            d_params = optax.apply_updates(
+                d_params, jax.tree.map(lambda u: -lr * u, updates)
+            )
+            metrics["loss_D"] += d_loss / tcfg.n_critic
+            metrics["loss_gp"] += gp / tcfg.n_critic
+            metrics["wasserstein_distance"] += wd / tcfg.n_critic
+
+        # ---- generator update ----
+        rng, g_drop_rng = jax.random.split(rng)
+
+        def g_loss_fn(g_params):
+            delta_pred = gen_apply(g_params, pred_patch, g_drop_rng, train=True)
+            calibrated = delta_apply(pred_box, delta_pred, training=True)
+            gt_boxes = delta_apply(pred_box, delta_true, training=True)
+            loss_iou = tcfg.lambda_iou * eiou_loss(calibrated, gt_boxes, weights)
+
+            refined = _refined_patches(
+                canvases, canvas_wh, pred_box, delta_pred, pred_patch,
+                img_size, tcfg.crop_edge_softness,
+                smooth=tcfg.adversarial_gradient,
+            )
+            if not tcfg.adversarial_gradient:
+                # reference-faithful: host PIL crop carried no gradient
+                refined = jax.lax.stop_gradient(refined)
+            fake, _ = d_apply(d_params, d_stats, pred_patch, refined)
+            loss_wgan = -wmean(fake, weights)
+            return loss_iou + loss_wgan, (loss_iou, loss_wgan)
+
+        (g_loss, (loss_iou, loss_wgan)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        g_updates, g_opt = tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(
+            state.g_params, jax.tree.map(lambda u: -lr * u, g_updates)
+        )
+
+        metrics.update(loss_G=g_loss, loss_iou=loss_iou, loss_wgan=loss_wgan)
+        new_state = state.replace(
+            g_params=g_params,
+            d_params=d_params,
+            d_stats=d_stats,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            rng=rng,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(cfg: CalibratorConfig, g_model):
+    """Validation: IoU before/after calibration vs reconstructed GT boxes
+    (cgan_train_enhanced.py:394-420 — note the reference compares against
+    ``apply_delta(pred_box, delta_true, training=False)``, not the raw GT)."""
+
+    @jax.jit
+    def eval_step(g_params, data: DeviceData, idx, weights):
+        pred_patch = normalize_patch(data.pred_patch[idx])
+        delta_true = data.delta[idx]
+        pred_box = data.pred_box[idx]
+        delta_pred = g_model.apply({"params": g_params}, pred_patch)
+        calibrated = delta_apply(pred_box, delta_pred, training=False)
+        gt_boxes = delta_apply(pred_box, delta_true, training=False)
+        iou_before = iou_elementwise(pred_box, gt_boxes)
+        iou_after = iou_elementwise(calibrated, gt_boxes)
+        return (
+            jnp.sum(iou_before * weights),
+            jnp.sum(iou_after * weights),
+            jnp.sum(weights),
+        )
+
+    return eval_step
+
+
+def _batch_indices(n: int, batch_size: int, rng: np.random.Generator | None):
+    """Static-shape batches: shuffled (or sequential) indices padded to a
+    multiple of batch_size, with 0/1 weights for the padding tail."""
+    order = rng.permutation(n) if rng is not None else np.arange(n)
+    n_batches = max(1, -(-n // batch_size))
+    padded = np.resize(order, n_batches * batch_size)  # wraps; weights mask the wrap
+    weights = np.zeros(n_batches * batch_size, np.float32)
+    weights[:n] = 1.0
+    for b in range(n_batches):
+        sl = slice(b * batch_size, (b + 1) * batch_size)
+        yield padded[sl].astype(np.int32), weights[sl]
+
+
+def train_calibrator(
+    cfg: CalibratorConfig,
+    arrays,
+    *,
+    mesh=None,
+    log_fn=None,
+    max_epochs: int | None = None,
+):
+    """Full training loop: epochs, validation delta-IoU, plateau LR, early
+    stop, best checkpointing, history JSON — the reference's main() contract
+    (cgan_train_enhanced.py:139-551) minus W&B, plus resumability.
+
+    Returns (best_state_dict, history: list[dict]).
+    """
+    import json
+    from pathlib import Path
+
+    from gcssl_tpu.core.checkpoint import CheckpointManager
+    from gcssl_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
+    from gcssl_tpu.data.calibrator import train_val_split
+
+    tcfg = cfg.train
+    rng = jax.random.PRNGKey(tcfg.seed)
+    state, g_model, d_model = create_train_state(cfg, rng)
+    step_fn = make_train_step(cfg, g_model, d_model)
+    eval_fn = make_eval_step(cfg, g_model)
+
+    mesh = mesh or make_mesh(cfg.mesh)
+    repl = replicated_sharding(mesh)
+    dsh = data_sharding(mesh)
+
+    n = len(arrays)
+    train_idx, val_idx = train_val_split(n, cfg.data.val_split, tcfg.seed)
+    data = DeviceData.from_arrays(arrays)
+    data = jax.tree.map(lambda x: jax.device_put(x, repl), data)
+    state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+
+    sched_g = ReduceLROnPlateauFactory(tcfg)
+    stopper = EarlyStoppingFactory(tcfg)
+    ckpt = CheckpointManager(Path(tcfg.save_dir))
+    np_rng = np.random.default_rng(tcfg.seed)
+
+    history: list[dict] = []
+    best_delta_iou = -1.0
+    n_epochs = max_epochs or tcfg.n_epochs
+    for epoch in range(1, n_epochs + 1):
+        # keep metrics on device during the epoch: converting per-step would
+        # force a host sync every step and stall the dispatch pipeline
+        metric_accum = []
+        for idx, w in _batch_indices(len(train_idx), tcfg.batch_size, np_rng):
+            bidx = jax.device_put(jnp.asarray(train_idx[idx]), dsh)
+            bw = jax.device_put(jnp.asarray(w), dsh)
+            state, metrics = step_fn(state, data, bidx, bw, jnp.float32(sched_g.lr))
+            metric_accum.append(metrics)
+        fetched = jax.device_get(metric_accum)
+        n_steps = max(1, len(fetched))
+        stats = {
+            k: float(sum(m[k] for m in fetched)) / n_steps
+            for k in ("loss_G", "loss_D", "loss_iou", "loss_wgan", "loss_gp",
+                      "wasserstein_distance")
+        }
+
+        # validation
+        sb = sa = sw = 0.0
+        for idx, w in _batch_indices(len(val_idx), tcfg.batch_size, None):
+            bidx = jax.device_put(jnp.asarray(val_idx[idx]), dsh)
+            bw = jax.device_put(jnp.asarray(w), dsh)
+            b, a, ww = eval_fn(state.g_params, data, bidx, bw)
+            sb += float(b); sa += float(a); sw += float(ww)
+        mean_iou_before = sb / max(1.0, sw)
+        mean_iou_after = sa / max(1.0, sw)
+        delta_iou = mean_iou_after - mean_iou_before
+
+        sched_g.step(delta_iou)
+        record = {
+            "epoch": epoch,
+            "delta_iou": delta_iou,
+            "mean_iou_before": mean_iou_before,
+            "mean_iou_after": mean_iou_after,
+            **stats,
+        }
+        history.append(record)
+        if log_fn:
+            log_fn(record)
+
+        if not np.isfinite([stats["loss_G"], stats["loss_D"]]).all():
+            break
+
+        if delta_iou > best_delta_iou + tcfg.early_stop.min_delta:
+            best_delta_iou = delta_iou
+            ckpt.save(
+                "best", jax.device_get(state),
+                {"epoch": epoch, "delta_iou": delta_iou},
+            )
+            stopper.reset_counter()
+        else:
+            if stopper.bump():
+                break
+
+    out_root = Path(tcfg.save_dir)
+    out_root.mkdir(parents=True, exist_ok=True)
+    (out_root / "training_history.json").write_text(json.dumps(history, indent=2))
+    ckpt.save("last", jax.device_get(state), {"epoch": history[-1]["epoch"] if history else 0})
+    return state, history
+
+
+class ReduceLROnPlateauFactory:
+    def __init__(self, tcfg):
+        from gcssl_tpu.train.schedule import ReduceLROnPlateau
+
+        self._s = ReduceLROnPlateau(
+            initial_lr=tcfg.lr,
+            factor=tcfg.plateau_factor,
+            patience=tcfg.plateau_patience,
+        )
+
+    @property
+    def lr(self):
+        return self._s.lr
+
+    def step(self, metric):
+        return self._s.step(metric)
+
+
+class EarlyStoppingFactory:
+    def __init__(self, tcfg):
+        self.patience = tcfg.early_stop.patience
+        self.count = 0
+
+    def reset_counter(self):
+        self.count = 0
+
+    def bump(self) -> bool:
+        self.count += 1
+        return self.count >= self.patience

@@ -1,0 +1,109 @@
+"""Tests for config tree, mesh helpers, and checkpointing."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gcssl_tpu.core import (
+    CalibratorConfig,
+    CheckpointManager,
+    apply_overrides,
+    config_from_dict,
+    config_to_dict,
+    data_sharding,
+    load_config,
+    make_mesh,
+)
+
+
+class TestConfig:
+    def test_defaults_mirror_reference_yaml(self):
+        # Values from /root/reference/cgan/config.yaml
+        cfg = CalibratorConfig()
+        assert cfg.data.img_size == 128
+        assert cfg.train.batch_size == 128
+        assert cfg.train.n_epochs == 500
+        assert cfg.train.lr == 2.0e-4
+        assert cfg.train.beta1 == 0.5
+        assert cfg.train.lambda_iou == 1.0
+        assert cfg.model.spectral_norm is True
+        assert cfg.model.delta_scale == 0.3
+        assert cfg.model.generator_type == "unet"
+        assert cfg.train.early_stop.patience == 20
+        assert cfg.train.early_stop.min_delta == 1.0e-5
+        assert cfg.data.train_split == 0.8
+        assert cfg.train.seed == 42
+        assert cfg.data.iou_threshold == 0.25
+        assert cfg.train.lambda_gp == 1.0
+        assert cfg.train.n_critic == 2
+
+    def test_roundtrip_dict(self):
+        cfg = CalibratorConfig()
+        d = config_to_dict(cfg)
+        cfg2 = config_from_dict(CalibratorConfig, d)
+        assert cfg2 == cfg
+
+    def test_partial_dict(self):
+        cfg = config_from_dict(
+            CalibratorConfig, {"train": {"lr": 1e-3, "early_stop": {"patience": 3}}}
+        )
+        assert cfg.train.lr == 1e-3
+        assert cfg.train.early_stop.patience == 3
+        assert cfg.train.beta1 == 0.5  # untouched default
+
+    def test_unknown_key_raises(self):
+        with pytest.raises(KeyError):
+            config_from_dict(CalibratorConfig, {"nonsense": 1})
+
+    def test_overrides(self):
+        cfg = CalibratorConfig()
+        cfg2 = apply_overrides(
+            cfg, {"train.lr": 5e-5, "model.generator_type": "simple"}
+        )
+        assert cfg2.train.lr == 5e-5
+        assert cfg2.model.generator_type == "simple"
+        assert cfg.train.lr == 2e-4  # original untouched (frozen-style copy)
+
+    def test_yaml_load(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        p.write_text("train:\n  batch_size: 32\nmodel:\n  delta_scale: 0.25\n")
+        cfg = load_config(p)
+        assert cfg.train.batch_size == 32
+        assert cfg.model.delta_scale == 0.25
+
+
+class TestMesh:
+    def test_eight_virtual_devices(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8  # conftest forces 8 CPU devices
+        assert mesh.axis_names == ("data",)
+
+    def test_data_sharding_splits_batch(self):
+        mesh = make_mesh()
+        sh = data_sharding(mesh)
+        x = jax.device_put(jnp.zeros((16, 4)), sh)
+        assert len(x.addressable_shards) == 8
+        assert x.addressable_shards[0].data.shape == (2, 4)
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        mgr = CheckpointManager(tmp_path)
+        state = {
+            "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+            "step": jnp.asarray(7),
+            "rng": jax.random.key_data(jax.random.PRNGKey(0)),
+        }
+        mgr.save("best", state, {"delta_iou": 0.01, "epoch": 4})
+        target = jax.tree.map(jnp.zeros_like, state)
+        restored = mgr.restore("best", target)
+        np.testing.assert_array_equal(
+            np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+        )
+        assert int(restored["step"]) == 7
+        assert mgr.metadata("best")["delta_iou"] == 0.01
+        assert mgr.exists("best") and not mgr.exists("last")

@@ -1,0 +1,165 @@
+"""Detector tests: shapes, assignment, loss, overfit-one-batch, predict+NMS,
+mAP evaluator golden cases."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gcssl_tpu.core.config import DetectorConfig
+from gcssl_tpu.eval.map import evaluate_detections
+from gcssl_tpu.models.detector import Detector, decode_all
+from gcssl_tpu.train.detector import (
+    assign_targets_level,
+    create_detector_state,
+    make_detector_predict,
+    make_detector_train_step,
+)
+
+
+def small_cfg(**over):
+    d = dict(
+        img_size=128, width_mult=0.25, depth_mult=0.33, batch_size=4,
+        compute_dtype="float32", max_boxes=10,
+    )
+    d.update(over)
+    return DetectorConfig(**d)
+
+
+class TestModel:
+    def test_output_shapes(self):
+        cfg = small_cfg()
+        model = Detector(1, cfg.width_mult, cfg.depth_mult, jnp.float32)
+        x = jnp.zeros((2, 128, 128, 3))
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        outs = model.apply({"params": params}, x)
+        assert len(outs) == 3
+        for (cls, ltrb), s in zip(outs, (8, 16, 32)):
+            assert cls.shape == (2, 128 // s, 128 // s, 1)
+            assert ltrb.shape == (2, 128 // s, 128 // s, 4)
+            assert (np.asarray(ltrb) >= 0).all()  # softplus positivity
+
+    def test_decode_all(self):
+        cfg = small_cfg()
+        model = Detector(1, cfg.width_mult, cfg.depth_mult, jnp.float32)
+        x = jnp.zeros((2, 128, 128, 3))
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        scores, boxes = decode_all(model.apply({"params": params}, x), 128)
+        n = 16 * 16 + 8 * 8 + 4 * 4
+        assert scores.shape == (2, n, 1)
+        assert boxes.shape == (2, n, 4)
+
+
+class TestAssignment:
+    def test_center_cell_positive(self):
+        # one GT box at center, 40x40 px on a 128 image -> level 0 (max ltrb 20)
+        gt = jnp.asarray([[0.5, 0.5, 40 / 128, 40 / 128]])
+        mask = jnp.asarray([True])
+        box_t, pos = assign_targets_level(gt, mask, 8, 16, 16, 128, level=0)
+        pos = np.asarray(pos).reshape(16, 16)
+        assert pos[8, 8] or pos[7, 7]  # center cells positive
+        assert pos.sum() >= 1
+        # positives target the GT xyxy in px
+        bt = np.asarray(box_t).reshape(16, 16, 4)
+        iy, ix = np.argwhere(pos)[0]
+        np.testing.assert_allclose(bt[iy, ix], [44, 44, 84, 84], atol=1e-3)
+
+    def test_small_box_not_assigned_to_higher_levels(self):
+        # 40 px box: center-cell max-ltrb ~20 px < 64 -> level 0 only
+        gt = jnp.asarray([[0.5, 0.5, 40 / 128, 40 / 128]])
+        mask = jnp.asarray([True])
+        _, pos0 = assign_targets_level(gt, mask, 8, 16, 16, 128, level=0)
+        _, pos2 = assign_targets_level(gt, mask, 32, 4, 4, 128, level=2)
+        assert np.asarray(pos0).any()
+        assert not np.asarray(pos2).any()  # level-2 range starts at 128 px
+
+    def test_masked_gt_ignored(self):
+        gt = jnp.asarray([[0.5, 0.5, 0.3, 0.3]])
+        _, pos = assign_targets_level(
+            gt, jnp.asarray([False]), 8, 16, 16, 128, level=0
+        )
+        assert not np.asarray(pos).any()
+
+
+class TestTraining:
+    def test_loss_decreases_overfitting_one_batch(self):
+        cfg = small_cfg()
+        state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(0))
+        step = make_detector_train_step(cfg, model, tx)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(
+            rng.integers(0, 255, (4, 128, 128, 3), dtype=np.uint8)
+        )
+        boxes = jnp.asarray(
+            np.tile([[0.5, 0.5, 0.3, 0.3]], (4, 1))[:, None, :].repeat(1, 1)
+        ).reshape(4, 1, 4)
+        boxes = jnp.concatenate(
+            [boxes, jnp.zeros((4, cfg.max_boxes - 1, 4))], axis=1
+        )
+        mask = jnp.zeros((4, cfg.max_boxes), bool).at[:, 0].set(True)
+        w = jnp.ones(4, jnp.float32)
+        losses = []
+        for i in range(30):
+            state, m = step(state, images, boxes, mask, w, jnp.float32(1e-3))
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0] * 0.7, f"no learning: {losses[::10]}"
+
+    def test_predict_shapes_and_validity(self):
+        cfg = small_cfg()
+        state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        predict = make_detector_predict(cfg, model)
+        images = jnp.zeros((2, 128, 128, 3), jnp.uint8)
+        boxes, scores, valid = predict(state.params, images, 0.5, 0.45)
+        assert boxes.shape == (2, cfg.max_boxes, 4)
+        assert scores.shape == (2, cfg.max_boxes)
+        assert valid.shape == (2, cfg.max_boxes)
+        # untrained prior bias ~ -4.59 -> sigmoid ~0.01 < 0.5: nothing valid
+        assert not np.asarray(valid).any()
+
+    def test_predict_tta(self):
+        cfg = small_cfg()
+        state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        predict = make_detector_predict(cfg, model)
+        images = jnp.zeros((1, 128, 128, 3), jnp.uint8)
+        out = predict(state.params, images, 0.001, 0.45, True)
+        assert np.isfinite(np.asarray(out[0])).all()
+
+
+class TestMAP:
+    def test_perfect_predictions(self):
+        gts = [np.asarray([[0.5, 0.5, 0.2, 0.2]]), np.asarray([[0.3, 0.3, 0.1, 0.1]])]
+        preds = [g.copy() for g in gts]
+        scores = [np.asarray([0.9]), np.asarray([0.8])]
+        m = evaluate_detections(preds, scores, gts)
+        assert m.map50 == pytest.approx(1.0, abs=1e-6)
+        assert m.map50_95 == pytest.approx(1.0, abs=1e-6)
+
+    def test_half_detected(self):
+        gts = [np.asarray([[0.5, 0.5, 0.2, 0.2], [0.1, 0.1, 0.05, 0.05]])]
+        preds = [np.asarray([[0.5, 0.5, 0.2, 0.2]])]
+        scores = [np.asarray([0.9])]
+        m = evaluate_detections(preds, scores, gts)
+        assert 0.4 < m.map50 < 0.6
+
+    def test_false_positive_hurts_precision(self):
+        gts = [np.asarray([[0.5, 0.5, 0.2, 0.2]])]
+        preds = [np.asarray([[0.5, 0.5, 0.2, 0.2], [0.9, 0.9, 0.05, 0.05]])]
+        scores = [np.asarray([0.9, 0.95])]  # FP ranked first
+        m = evaluate_detections(preds, scores, gts)
+        assert m.map50 < 1.0
+
+    def test_localization_quality_separates_iou_thresholds(self):
+        gts = [np.asarray([[0.5, 0.5, 0.2, 0.2]])]
+        preds = [np.asarray([[0.52, 0.5, 0.2, 0.2]])]  # IoU ~ 0.82
+        scores = [np.asarray([0.9])]
+        m = evaluate_detections(preds, scores, gts)
+        assert m.map50 == pytest.approx(1.0, abs=1e-6)
+        assert m.map50_95 < 1.0
+        assert m.ap_per_iou[-1] == 0.0  # IoU 0.95 not met
+
+    def test_empty_predictions(self):
+        gts = [np.asarray([[0.5, 0.5, 0.2, 0.2]])]
+        m = evaluate_detections([np.zeros((0, 4))], [np.zeros(0)], gts)
+        assert m.map50 == 0.0
