@@ -40,22 +40,30 @@ def main() -> None:
     state, g_model, d_model = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, g_model, d_model)
 
-    # synthetic resident dataset with realistic shapes
+    # synthetic resident dataset with realistic shapes — generated ON device
+    # (the tunneled host->device path runs at ~1 MB/s; uploading 400 MB of
+    # synthetic bytes would dominate the bench wall-time)
     n, m = 4096, 64
     s, c = cfg.data.img_size, cfg.data.canvas_size
-    rng = np.random.default_rng(0)
-    boxes = np.column_stack(
-        [rng.uniform(0.3, 0.7, (n, 2)), rng.uniform(0.15, 0.4, (n, 2))]
-    ).astype(np.float32)
-    data = DeviceData(
-        pred_patch=jnp.asarray(rng.integers(0, 255, (n, s, s, 3)), jnp.uint8),
-        gt_patch=jnp.asarray(rng.integers(0, 255, (n, s, s, 3)), jnp.uint8),
-        delta=jnp.asarray(rng.normal(0, 0.1, (n, 4)), jnp.float32),
-        pred_box=jnp.asarray(boxes),
-        canvas_idx=jnp.asarray(rng.integers(0, m, n), jnp.int32),
-        canvases=jnp.asarray(rng.integers(0, 255, (m, c, c, 3)), jnp.uint8),
-        canvas_wh=jnp.asarray(np.tile([[640.0, 480.0]], (m, 1)), jnp.float32),
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 8)
+    boxes = jnp.concatenate(
+        [
+            jax.random.uniform(ks[0], (n, 2), minval=0.3, maxval=0.7),
+            jax.random.uniform(ks[1], (n, 2), minval=0.15, maxval=0.4),
+        ],
+        axis=1,
     )
+    data = DeviceData(
+        pred_patch=jax.random.randint(ks[2], (n, s, s, 3), 0, 255, jnp.uint8),
+        gt_patch=jax.random.randint(ks[3], (n, s, s, 3), 0, 255, jnp.uint8),
+        delta=jax.random.normal(ks[4], (n, 4)) * 0.1,
+        pred_box=boxes,
+        canvas_idx=jax.random.randint(ks[5], (n,), 0, m, jnp.int32),
+        canvases=jax.random.randint(ks[6], (m, c, c, 3), 0, 255, jnp.uint8),
+        canvas_wh=jnp.tile(jnp.asarray([[640.0, 480.0]]), (m, 1)),
+    )
+    rng = np.random.default_rng(0)
 
     b = cfg.train.batch_size
     w = jnp.ones(b, jnp.float32)

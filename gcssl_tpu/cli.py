@@ -1,0 +1,313 @@
+"""Unified CLI for every pipeline stage.
+
+The reference's UX is "edit constants at the top of a script, run it"
+(SURVEY.md §1).  Here each stage is a subcommand with typed flags over the
+shared config tree:
+
+    python -m gcssl_tpu split --src ... --dst ... --counts 500 100 100
+    python -m gcssl_tpu train-detector --train-dir ... --val-dir ... --save-dir ...
+    python -m gcssl_tpu predict --weights ... --images ... --out-labels ...
+    python -m gcssl_tpu two-stage --weights ... --source ... --dest ...
+    python -m gcssl_tpu kfold --train-dir ... --output ...
+    python -m gcssl_tpu train-calibrator --data-dir ... --save-dir ...
+    python -m gcssl_tpu calibrate --weights-dir ... --image ... --pred-txt ... --out-txt ...
+    python -m gcssl_tpu compare --pseudo ... --gt ...
+    python -m gcssl_tpu paired-patches --root ... --out ...
+    python -m gcssl_tpu train-ssl --dataset synthetic ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def _add_split(sub):
+    p = sub.add_parser("split", help="split a dataset into labeled/val/test/unlabeled")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+    p.add_argument("--counts", type=int, nargs="+", default=[500, 100, 100])
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--move", action="store_true")
+    p.add_argument("--names", nargs="*", default=None)
+
+
+def _add_train_detector(sub):
+    p = sub.add_parser("train-detector", help="train the single-class detector")
+    p.add_argument("--train-dir", required=True)
+    p.add_argument("--val-dir", default=None)
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--patience", type=int, default=20)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--width-mult", type=float, default=0.5)
+
+
+def _add_predict(sub):
+    p = sub.add_parser("predict", help="batched detector prediction to YOLO txt")
+    p.add_argument("--weights-dir", required=True)
+    p.add_argument("--images", required=True)
+    p.add_argument("--out-labels", required=True)
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--iou", type=float, default=0.45)
+    p.add_argument("--tta", action="store_true")
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--width-mult", type=float, default=0.5)
+
+
+def _add_two_stage(sub):
+    p = sub.add_parser("two-stage", help="two-stage pseudo-labeling")
+    p.add_argument("--weights-dir", required=True)
+    p.add_argument("--source", required=True)
+    p.add_argument("--dest", required=True)
+    p.add_argument("--conf-high", type=float, default=0.85)
+    p.add_argument("--conf-low", type=float, default=0.40)
+    p.add_argument("--overlap-thr", type=float, default=0.35)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--width-mult", type=float, default=0.5)
+
+
+def _add_kfold(sub):
+    p = sub.add_parser("kfold", help="k-fold cross pseudo-labeling")
+    p.add_argument("--train-dir", required=True)
+    p.add_argument("--val-dir", default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--kfolds", type=int, default=5)
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--width-mult", type=float, default=0.5)
+
+
+def _add_train_calibrator(sub):
+    p = sub.add_parser("train-calibrator", help="train the WGAN-GP box calibrator")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--config", default=None, help="YAML overriding defaults")
+    p.add_argument("--generator-type", default=None, choices=["unet", "simple"])
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--cache-dir", default=None)
+
+
+def _add_calibrate(sub):
+    p = sub.add_parser("calibrate", help="apply the calibrator to pseudo-labels")
+    p.add_argument("--weights-dir", required=True)
+    p.add_argument("--image", default=None)
+    p.add_argument("--pred-txt", default=None)
+    p.add_argument("--out-txt", default=None)
+    p.add_argument("--images-dir", default=None)
+    p.add_argument("--labels-dir", default=None)
+    p.add_argument("--out-dir", default=None)
+
+
+def _add_compare(sub):
+    p = sub.add_parser("compare", help="pseudo-label P/R/F1 vs GT")
+    p.add_argument("--pseudo", required=True)
+    p.add_argument("--gt", required=True)
+    p.add_argument("--iou", type=float, default=0.40)
+
+
+def _add_paired_patches(sub):
+    p = sub.add_parser("paired-patches", help="side-by-side patch QA images")
+    p.add_argument("--root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--img-size", type=int, default=128)
+    p.add_argument("--limit", type=int, default=None)
+
+
+def _add_train_ssl(sub):
+    p = sub.add_parser("train-ssl", help="classification GAN-SSL training")
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--npz", default=None, help=".npz with x_train/y_train/x_test/y_test")
+    p.add_argument("--num-labeled", type=int, default=4000)
+    p.add_argument("--num-classes", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--save-dir", default="runs/ssl")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="gcssl_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for add in (
+        _add_split, _add_train_detector, _add_predict, _add_two_stage,
+        _add_kfold, _add_train_calibrator, _add_calibrate, _add_compare,
+        _add_paired_patches, _add_train_ssl,
+    ):
+        add(sub)
+    return parser
+
+
+def _detector_cfg(args):
+    from gcssl_tpu.core.config import DetectorConfig
+
+    kw = {}
+    for name in ("img_size", "epochs", "batch_size", "patience", "lr", "width_mult"):
+        if hasattr(args, name):
+            kw[name] = getattr(args, name)
+    return DetectorConfig(**kw)
+
+
+def _load_detector(args):
+    import jax
+
+    from gcssl_tpu.core.checkpoint import CheckpointManager
+    from gcssl_tpu.train.detector import (
+        create_detector_state,
+        make_detector_predict,
+    )
+
+    cfg = _detector_cfg(args)
+    state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(args.weights_dir)
+    which = "best" if mgr.exists("best") else "last"
+    state = mgr.restore(which, jax.device_get(state))
+    return cfg, state, make_detector_predict(cfg, model)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "split":
+        from gcssl_tpu.pipeline.split import split_dataset
+
+        sizes = split_dataset(
+            args.src, args.dst, args.counts, args.seed, args.move, args.names
+        )
+        print(json.dumps({"sizes": sizes}))
+
+    elif args.cmd == "train-detector":
+        from gcssl_tpu.data.detection import load_detection_tree
+        from gcssl_tpu.obs.history import MetricsLogger
+        from gcssl_tpu.pipeline.detect import train_detector
+
+        cfg = _detector_cfg(args)
+        train = load_detection_tree(args.train_dir, cfg.img_size, cfg.max_boxes)
+        val = (
+            load_detection_tree(args.val_dir, cfg.img_size, cfg.max_boxes)
+            if args.val_dir else None
+        )
+        logger = MetricsLogger(args.save_dir)
+        train_detector(cfg, train, val, save_dir=args.save_dir, log_fn=logger.log)
+        logger.finalize("results.json")
+
+    elif args.cmd == "predict":
+        from gcssl_tpu.pipeline.detect import predict_to_tree
+        from gcssl_tpu.train.detector import eval_params
+
+        cfg, state, predict_fn = _load_detector(args)
+        n = predict_to_tree(
+            cfg, predict_fn, eval_params(cfg, state), args.images, args.out_labels,
+            args.conf, args.iou, args.tta,
+        )
+        print(json.dumps({"boxes_written": n}))
+
+    elif args.cmd == "two-stage":
+        from gcssl_tpu.core.config import PseudoLabelConfig
+        from gcssl_tpu.pipeline.two_stage import two_stage_pseudo_label
+        from gcssl_tpu.train.detector import eval_params
+
+        cfg, state, predict_fn = _load_detector(args)
+        pl_cfg = PseudoLabelConfig(
+            conf_high=args.conf_high, conf_low=args.conf_low,
+            overlap_thr=args.overlap_thr,
+        )
+        counts = two_stage_pseudo_label(
+            cfg, pl_cfg, predict_fn, eval_params(cfg, state), args.source, args.dest
+        )
+        print(json.dumps(counts))
+
+    elif args.cmd == "kfold":
+        from gcssl_tpu.core.config import PseudoLabelConfig
+        from gcssl_tpu.pipeline.kfold import kfold_pseudo_label
+
+        cfg = _detector_cfg(args)
+        pl_cfg = PseudoLabelConfig(kfolds=args.kfolds)
+        merged = kfold_pseudo_label(
+            cfg, pl_cfg, Path(args.train_dir) / "images", args.val_dir, args.output
+        )
+        print(json.dumps({"merged": str(merged)}))
+
+    elif args.cmd == "train-calibrator":
+        from gcssl_tpu.core.config import CalibratorConfig, apply_overrides, load_config
+        from gcssl_tpu.data.calibrator import load_or_build
+        from gcssl_tpu.obs.history import MetricsLogger
+        from gcssl_tpu.train.wgan_gp import train_calibrator
+
+        cfg = load_config(args.config) if args.config else CalibratorConfig()
+        over = {"data.data_dir": args.data_dir, "train.save_dir": args.save_dir}
+        if args.generator_type:
+            over["model.generator_type"] = args.generator_type
+        if args.epochs:
+            over["train.n_epochs"] = args.epochs
+        if args.batch_size:
+            over["train.batch_size"] = args.batch_size
+        cfg = apply_overrides(cfg, over)
+        arrays = load_or_build(
+            args.data_dir, cfg.data.iou_threshold, cfg.data.img_size,
+            cfg.data.canvas_size, cache_dir=args.cache_dir,
+        )
+        logger = MetricsLogger(args.save_dir)
+        train_calibrator(cfg, arrays, log_fn=logger.log)
+
+    elif args.cmd == "calibrate":
+        from gcssl_tpu.pipeline.calibrate import (
+            calibrate_file,
+            calibrate_tree,
+            load_calibrator_from_checkpoint,
+        )
+
+        cal = load_calibrator_from_checkpoint(args.weights_dir)
+        if args.image:
+            n = calibrate_file(cal, args.image, args.pred_txt, args.out_txt)
+        else:
+            n = calibrate_tree(cal, args.images_dir, args.labels_dir, args.out_dir)
+        print(json.dumps({"boxes_calibrated": n}))
+
+    elif args.cmd == "compare":
+        from gcssl_tpu.eval.pseudo_vs_gt import evaluate_pseudo_labels
+
+        report = evaluate_pseudo_labels(args.pseudo, args.gt, args.iou)
+        print(report.render(args.iou))
+
+    elif args.cmd == "paired-patches":
+        from gcssl_tpu.pipeline.paired_patches import create_paired_patches
+
+        n = create_paired_patches(args.root, args.out, args.img_size, limit=args.limit)
+        print(json.dumps({"pairs_written": n}))
+
+    elif args.cmd == "train-ssl":
+        import numpy as np
+
+        from gcssl_tpu.core.config import SSLClassifierConfig
+        from gcssl_tpu.data.ssl_datasets import (
+            load_npz_dataset,
+            make_ssl_splits,
+            synthetic_classification_set,
+        )
+        from gcssl_tpu.obs.history import MetricsLogger
+        from gcssl_tpu.train.ssl import train_ssl_classifier
+
+        cfg = SSLClassifierConfig(
+            dataset=args.dataset, num_classes=args.num_classes,
+            num_labeled=args.num_labeled, epochs=args.epochs,
+        )
+        if args.npz:
+            data = load_npz_dataset(args.npz)
+        else:
+            data = synthetic_classification_set(num_classes=cfg.num_classes)
+        splits = make_ssl_splits(*data, cfg.num_labeled, cfg.num_classes)
+        logger = MetricsLogger(args.save_dir)
+        train_ssl_classifier(
+            cfg, splits.x_lab, splits.y_lab, splits.x_unlab,
+            splits.x_val, splits.y_val, log_fn=logger.log,
+        )
+        logger.finalize()
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

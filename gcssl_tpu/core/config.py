@@ -129,6 +129,9 @@ class DetectorConfig:
     nms_iou: float = 0.45
     seed: int = 42
     compute_dtype: str = "bfloat16"
+    mosaic: bool = True            # 4-image mosaic augmentation (device-side)
+    close_mosaic_epochs: int = 15  # disable mosaic for the last N epochs
+    ema_decay: float = 0.9995      # weight EMA used for eval/predict (0 = off)
 
 
 @dataclass
@@ -141,6 +144,8 @@ class SSLClassifierConfig:
     num_labeled: int = 4000
     img_size: int = 32
     latent_dim: int = 100
+    g_base: int = 128
+    d_base: int = 96
     batch_size: int = 128
     epochs: int = 300
     lr: float = 3.0e-4

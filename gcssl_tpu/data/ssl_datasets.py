@@ -1,0 +1,114 @@
+"""Datasets for the classification GAN-SSL configs.
+
+Zero-egress environment: torchvision downloads are unavailable, so loaders
+accept (a) pre-exported ``.npz`` files (keys: x_train, y_train, x_test,
+y_test — uint8 HWC images), or (b) a procedurally generated synthetic set
+with class-dependent structure (for tests/CI and smoke runs).  The SSL split
+helper mirrors the standard protocol: N labeled per run (class-balanced),
+rest unlabeled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclass
+class SSLSplits:
+    x_lab: np.ndarray    # (Nl, S, S, C) float32 in (-1, 1)
+    y_lab: np.ndarray    # (Nl,) int32
+    x_unlab: np.ndarray  # (Nu, S, S, C)
+    x_val: np.ndarray
+    y_val: np.ndarray
+    x_test: np.ndarray
+    y_test: np.ndarray
+
+
+def normalize_images(x_u8: np.ndarray) -> np.ndarray:
+    """uint8 HWC -> float32 (-1, 1)."""
+    return (x_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
+def synthetic_classification_set(
+    num_classes: int = 10,
+    img_size: int = 32,
+    channels: int = 3,
+    n_train: int = 2000,
+    n_test: int = 500,
+    seed: int = 0,
+):
+    """Structured synthetic images: each class is a distinct frequency/phase
+    pattern + noise — learnable by a small convnet, cheap to generate."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:img_size, 0:img_size] / img_size
+
+    def render(cls, n):
+        freq = 1 + cls % 5
+        phase = (cls // 5) * np.pi / 2
+        base = np.sin(2 * np.pi * freq * xx + phase) * np.cos(
+            2 * np.pi * (freq % 3 + 1) * yy
+        )
+        imgs = base[None, :, :, None] + 0.4 * rng.normal(
+            0, 1, (n, img_size, img_size, channels)
+        )
+        imgs = (imgs - imgs.min()) / (imgs.max() - imgs.min() + 1e-9)
+        return (imgs * 255).astype(np.uint8)
+
+    per_train = n_train // num_classes
+    per_test = n_test // num_classes
+    x_train = np.concatenate([render(c, per_train) for c in range(num_classes)])
+    y_train = np.repeat(np.arange(num_classes), per_train).astype(np.int32)
+    x_test = np.concatenate([render(c, per_test) for c in range(num_classes)])
+    y_test = np.repeat(np.arange(num_classes), per_test).astype(np.int32)
+    perm = rng.permutation(len(x_train))
+    return x_train[perm], y_train[perm], x_test, y_test
+
+
+def load_npz_dataset(path: str | Path):
+    """Load a pre-exported dataset: x_train/y_train/x_test/y_test uint8 HWC."""
+    z = np.load(path)
+    return z["x_train"], z["y_train"], z["x_test"], z["y_test"]
+
+
+def make_ssl_splits(
+    x_train: np.ndarray,
+    y_train: np.ndarray,
+    x_test: np.ndarray,
+    y_test: np.ndarray,
+    num_labeled: int,
+    num_classes: int,
+    val_fraction: float = 0.1,
+    seed: int = 42,
+) -> SSLSplits:
+    """Class-balanced labeled subset; remainder is the unlabeled pool; a
+    slice of the labeled pool doubles as the calibration/validation split."""
+    rng = np.random.default_rng(seed)
+    per_class = num_labeled // num_classes
+    lab_idx = []
+    for c in range(num_classes):
+        cls_idx = np.where(y_train == c)[0]
+        lab_idx.append(rng.choice(cls_idx, per_class, replace=False))
+    lab_idx = np.concatenate(lab_idx)
+    rng.shuffle(lab_idx)
+    unlab_mask = np.ones(len(x_train), bool)
+    unlab_mask[lab_idx] = False
+
+    n_val = max(num_classes, int(val_fraction * len(lab_idx)))
+    val_idx, lab_idx = lab_idx[:n_val], lab_idx[n_val:]
+
+    if x_train.ndim == 3:
+        x_train = x_train[..., None]
+        x_test = x_test[..., None]
+    norm = normalize_images
+    return SSLSplits(
+        x_lab=norm(x_train[lab_idx]),
+        y_lab=y_train[lab_idx].astype(np.int32),
+        x_unlab=norm(x_train[unlab_mask]),
+        x_val=norm(x_train[val_idx]),
+        y_val=y_train[val_idx].astype(np.int32),
+        x_test=norm(x_test),
+        y_test=y_test.astype(np.int32),
+    )

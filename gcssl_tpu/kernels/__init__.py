@@ -1,1 +1,8 @@
-"""(placeholder package)"""
+"""Pallas TPU kernels for hot fused ops."""
+
+from gcssl_tpu.kernels.instance_norm import (
+    fused_instance_norm_act,
+    pallas_available,
+)
+
+__all__ = ["fused_instance_norm_act", "pallas_available"]

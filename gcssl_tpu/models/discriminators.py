@@ -50,6 +50,10 @@ class PatchCritic(nn.Module):
                 x = nn.SpectralNorm(conv)(x, update_stats=update_stats)
             else:
                 x = conv(x)
+            # NOTE: the critic deliberately uses the plain XLA norm path, not
+            # the fused Pallas kernel — WGAN-GP differentiates the critic
+            # twice (grad of the gradient penalty), and custom_vjp ops do not
+            # support the jvp-of-vjp that second-order autodiff requires.
             if i > 0:
                 x = instance_norm(x)
             x = nn.leaky_relu(x, 0.2)

@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gcssl_tpu.models.layers import ConvDown, ConvUp, instance_norm, pix2pix_kernel_init
+from gcssl_tpu.models.layers import (
+    ConvDown,
+    ConvUp,
+    instance_norm_act,
+    pix2pix_kernel_init,
+)
 
 
 class GeneratorUNet(nn.Module):
@@ -63,8 +68,7 @@ class GeneratorSimpleRegressor(nn.Module):
                     ch, (3, 3), padding=((1, 1), (1, 1)),
                     kernel_init=pix2pix_kernel_init(), dtype=self.dtype,
                 )(x)
-                x = instance_norm(x)
-                x = nn.relu(x)
+                x = instance_norm_act(x, 0.0)
             return nn.max_pool(x, (2, 2), strides=(2, 2))
 
         for ch in (64, 128, 256, 512):

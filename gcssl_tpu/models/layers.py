@@ -34,6 +34,27 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def instance_norm_act(x: jax.Array, negative_slope: float) -> jax.Array:
+    """InstanceNorm + (Leaky)ReLU via the fused Pallas kernel on TPU
+    (kernels/instance_norm.py; jnp fallback elsewhere, identical numerics).
+
+    Default OFF (opt in with GCSSL_PALLAS_NORM=1): measured end-to-end on
+    v5e, the standalone kernel wins in isolation (up to +57% bandwidth,
+    tests/test_kernels.py + kernels/instance_norm.py docstring) but LOSES
+    inside the full fused WGAN-GP training graph (1358 vs 2487 img/s) —
+    XLA fuses the norm into the conv epilogue, and the custom_vjp boundary
+    blocks that fusion.  Measure per workload.
+    """
+    import os
+
+    if os.environ.get("GCSSL_PALLAS_NORM", "0") != "1":
+        x32 = instance_norm(x)
+        return jnp.where(x32 >= 0, x32, x32 * negative_slope).astype(x.dtype)
+    from gcssl_tpu.kernels import fused_instance_norm_act
+
+    return fused_instance_norm_act(x, negative_slope)
+
+
 class ConvDown(nn.Module):
     """Conv(k4, s2, p1, no bias) [+ InstanceNorm] + LeakyReLU(0.2) [+ Dropout].
 
@@ -57,8 +78,9 @@ class ConvDown(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.normalize:
-            x = instance_norm(x)
-        x = nn.leaky_relu(x, 0.2)
+            x = instance_norm_act(x, 0.2)
+        else:
+            x = nn.leaky_relu(x, 0.2)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x
@@ -86,8 +108,7 @@ class ConvUp(nn.Module):
             kernel_init=pix2pix_kernel_init(),
             dtype=self.dtype,
         )(x)
-        x = instance_norm(x)
-        x = nn.relu(x)
+        x = instance_norm_act(x, 0.0)  # norm + ReLU fused
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x

@@ -1,1 +1,7 @@
-"""(placeholder package)"""
+"""Observability: metrics history, structured logging, sample grids, profiling."""
+
+from gcssl_tpu.obs.history import MetricsLogger
+from gcssl_tpu.obs.samples import save_sample_grid
+from gcssl_tpu.obs.profiling import profile_trace
+
+__all__ = ["MetricsLogger", "save_sample_grid", "profile_trace"]

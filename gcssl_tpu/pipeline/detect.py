@@ -34,8 +34,10 @@ from gcssl_tpu.train.detector import (
 
 
 def _batches(n, bs, rng=None):
+    if n == 0:
+        return
     order = rng.permutation(n) if rng is not None else np.arange(n)
-    nb = max(1, -(-n // bs))
+    nb = -(-n // bs)
     padded = np.resize(order, nb * bs)
     w = np.zeros(nb * bs, np.float32)
     w[:n] = 1.0
@@ -118,15 +120,24 @@ def train_detector(
     best_map50, bad_epochs = -1.0, 0
     gstep = 0
     for epoch in range(1, n_epochs + 1):
+        use_mosaic = bool(
+            cfg.mosaic and epoch <= n_epochs - cfg.close_mosaic_epochs
+        )
         accum = []
         for idx, w in _batches(n, cfg.batch_size, rng):
+            # mosaic needs 4 sources per output: shuffled order + 3 random
+            idx4 = np.stack(
+                [idx] + [rng.integers(0, n, len(idx)) for _ in range(3)], axis=1
+            ).astype(np.int32)
+            i4 = jnp.asarray(idx4)
             state, metrics = step_fn(
                 state,
-                images[jnp.asarray(idx)],
-                gt_boxes[jnp.asarray(idx)],
-                gt_mask[jnp.asarray(idx)],
+                images[i4],
+                gt_boxes[i4],
+                gt_mask[i4],
                 jnp.asarray(w),
                 jnp.float32(lr_at(gstep)),
+                use_mosaic=use_mosaic,
             )
             accum.append(metrics)
             gstep += 1
@@ -134,10 +145,12 @@ def train_detector(
         rec = {
             "epoch": epoch,
             "lr": lr_at(gstep - 1),
+            "mosaic": use_mosaic,
             **{k: float(np.mean([m[k] for m in fetched])) for k in fetched[0]},
         }
         if val_arrays is not None:
-            m = evaluate_on(predict_fn, state.params, val_arrays)
+            eval_params = state.ema_params if cfg.ema_decay > 0 else state.params
+            m = evaluate_on(predict_fn, eval_params, val_arrays)
             rec.update(
                 map50=m.map50, map50_95=m.map50_95,
                 precision=m.precision, recall=m.recall,

@@ -26,6 +26,7 @@ from gcssl_tpu.pipeline.detect import (
     predict_to_tree,
     train_detector,
 )
+from gcssl_tpu.train.detector import eval_params
 
 
 def kfold_split(n: int, k: int, seed: int = 42):
@@ -91,7 +92,7 @@ def kfold_pseudo_label(
         )
         predict_fn = make_detector_predict(det_cfg, model)
         predict_to_tree(
-            det_cfg, predict_fn, state.params,
+            det_cfg, predict_fn, eval_params(det_cfg, state),
             train_images_dir, pseudo_dir,
             conf_thr=pl_cfg.kfold_conf, iou_thr=pl_cfg.kfold_iou_nms,
             image_list=infer_list, save_conf=True,

@@ -6,6 +6,7 @@ from gcssl_tpu.train.wgan_gp import (
     create_train_state,
     make_train_step,
     make_eval_step,
+    make_sample_fn,
     train_calibrator,
 )
 from gcssl_tpu.train.schedule import ReduceLROnPlateau, EarlyStopping

@@ -26,6 +26,7 @@ from gcssl_tpu.ops.boxes import cxcywh_to_xyxy, iou_elementwise
 
 class DetectorTrainState(struct.PyTreeNode):
     params: Any
+    ema_params: Any
     opt: Any
     rng: jax.Array
     step: jax.Array
@@ -170,6 +171,74 @@ def augment_batch(rng, images, boxes, mask):
     return images, boxes, mask
 
 
+def mosaic_batch(rng, images4, boxes4, mask4):
+    """Device-side 4-image mosaic (static shapes).
+
+    Each output sample places 4 source images into the quadrants of a random
+    center split — the small-object-friendly augmentation Ultralytics relies
+    on for from-scratch training.  Implemented as 4 per-sample
+    scale_and_translate resizes + quadrant masks (all MXU/VPU work, no host).
+
+    Args:
+        images4: (B, 4, S, S, 3) float source images.
+        boxes4: (B, 4, M, 4) normalized cxcywh per source.
+        mask4: (B, 4, M) bool.
+    Returns:
+        (images (B, S, S, 3), boxes (B, 4*M, 4), mask (B, 4*M))
+    """
+    b, _, s, _, c = images4.shape
+    m = boxes4.shape[2]
+    cx = jax.random.uniform(rng, (b,), minval=0.3, maxval=0.7)
+    cy = jax.random.uniform(jax.random.fold_in(rng, 1), (b,), minval=0.3, maxval=0.7)
+
+    def one(imgs, bxs, msk, ccx, ccy):
+        # quadrant rects in normalized coords: (x0, y0, x1, y1)
+        rects = jnp.stack(
+            [
+                jnp.stack([0.0, 0.0, ccx, ccy]),
+                jnp.stack([ccx, 0.0, 1.0, ccy]),
+                jnp.stack([0.0, ccy, ccx, 1.0]),
+                jnp.stack([ccx, ccy, 1.0, 1.0]),
+            ]
+        )  # (4, 4)
+
+        grid = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+
+        def place(img, rect):
+            x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
+            scale = jnp.stack([(y1 - y0), (x1 - x0)])  # full img -> quadrant
+            translation = jnp.stack([y0 * s, x0 * s])
+            out = jax.image.scale_and_translate(
+                img, (s, s, c), (0, 1), scale, translation,
+                method="linear", antialias=True,
+            )
+            row_in = (grid >= y0) & (grid < y1)
+            col_in = (grid >= x0) & (grid < x1)
+            return out, (row_in[:, None] & col_in[None, :]).astype(img.dtype)
+
+        outs, masks = jax.vmap(place)(imgs, rects)  # (4, S, S, C), (4, S, S)
+        canvas = jnp.sum(outs * masks[..., None], axis=0)
+
+        # boxes: source normalized -> quadrant
+        qx0, qy0 = rects[:, 0], rects[:, 1]
+        qw = rects[:, 2] - rects[:, 0]
+        qh = rects[:, 3] - rects[:, 1]
+        nbx = jnp.stack(
+            [
+                qx0[:, None] + bxs[..., 0] * qw[:, None],
+                qy0[:, None] + bxs[..., 1] * qh[:, None],
+                bxs[..., 2] * qw[:, None],
+                bxs[..., 3] * qh[:, None],
+            ],
+            axis=-1,
+        )  # (4, M, 4)
+        # drop boxes that became tiny slivers
+        nmsk = msk & (nbx[..., 2] > 0.004) & (nbx[..., 3] > 0.004)
+        return canvas, nbx.reshape(4 * m, 4), nmsk.reshape(4 * m)
+
+    return jax.vmap(one)(images4, boxes4, mask4, cx, cy)
+
+
 def create_detector_state(cfg: DetectorConfig, rng: jax.Array):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model = Detector(
@@ -187,17 +256,29 @@ def create_detector_state(cfg: DetectorConfig, rng: jax.Array):
         optax.add_decayed_weights(cfg.weight_decay),
     )
     state = DetectorTrainState(
-        params=params, opt=tx.init(params), rng=rng, step=jnp.asarray(0, jnp.int32)
+        params=params,
+        ema_params=jax.tree.map(jnp.copy, params),
+        opt=tx.init(params),
+        rng=rng,
+        step=jnp.asarray(0, jnp.int32),
     )
     return state, model, tx
 
 
 def make_detector_train_step(cfg: DetectorConfig, model, tx):
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, images_u8, gt_boxes, gt_mask, weights, lr):
-        rng, aug_rng = jax.random.split(state.rng)
-        images = images_u8.astype(jnp.float32) / 255.0
-        images, boxes, mask = augment_batch(aug_rng, images, gt_boxes, gt_mask)
+    """Fused step over 4-tuples of source images: mosaic (flag-gated) +
+    hflip/brightness aug + forward/backward + Adam + weight EMA, all one
+    compiled program."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("use_mosaic",))
+    def step(state, images4_u8, boxes4, mask4, weights, lr, use_mosaic: bool = True):
+        rng, mosaic_rng, aug_rng = jax.random.split(state.rng, 3)
+        images4 = images4_u8.astype(jnp.float32) / 255.0
+        if use_mosaic:
+            images, boxes, mask = mosaic_batch(mosaic_rng, images4, boxes4, mask4)
+        else:
+            images, boxes, mask = images4[:, 0], boxes4[:, 0], mask4[:, 0]
+        images, boxes, mask = augment_batch(aug_rng, images, boxes, mask)
 
         def loss_fn(params):
             outs = model.apply({"params": params}, images)
@@ -211,15 +292,41 @@ def make_detector_train_step(cfg: DetectorConfig, model, tx):
         params = optax.apply_updates(
             state.params, jax.tree.map(lambda u: -lr * u, updates)
         )
-        new_state = state.replace(params=params, opt=opt, rng=rng, step=state.step + 1)
+        d = cfg.ema_decay
+        # warmup the decay so early EMA isn't dominated by the random init
+        d_eff = jnp.minimum(d, (1.0 + state.step) / (10.0 + state.step)) if d > 0 else 0.0
+        ema_params = (
+            jax.tree.map(lambda e, p: e * d_eff + p * (1 - d_eff),
+                         state.ema_params, params)
+            if d > 0 else state.ema_params
+        )
+        new_state = state.replace(
+            params=params, ema_params=ema_params, opt=opt, rng=rng,
+            step=state.step + 1,
+        )
         return new_state, {"loss": loss, "cls": cls_l, "box": box_l}
 
     return step
 
 
-def make_detector_predict(cfg: DetectorConfig, model, max_out: int | None = None):
+def eval_params(cfg: DetectorConfig, state: DetectorTrainState):
+    """Parameters to use for evaluation/prediction (EMA when enabled)."""
+    return state.ema_params if cfg.ema_decay > 0 else state.params
+
+
+def make_detector_predict(
+    cfg: DetectorConfig,
+    model,
+    max_out: int | None = None,
+    pre_nms_topk: int = 300,
+):
     """Batched jitted predict: images -> (boxes (B, K, 4) cxcywh, scores
-    (B, K), valid (B, K)) after confidence threshold + NMS."""
+    (B, K), valid (B, K)) after confidence threshold + NMS.
+
+    NMS runs on the top ``pre_nms_topk`` candidates per image — the dense
+    grid is ~8.4k cells at 640px and a full pairwise IoU there would be a
+    B x 8400^2 tensor (36 GB at batch 16); top-k first keeps it at
+    B x 300^2."""
     from gcssl_tpu.ops.nms import nms
 
     max_out = max_out or cfg.max_boxes
@@ -230,20 +337,23 @@ def make_detector_predict(cfg: DetectorConfig, model, max_out: int | None = None
         outs = model.apply({"params": params}, images)
         scores, boxes = decode_all(outs, cfg.img_size)
         if tta:
-            # hflip TTA: average scores, merge boxes (mirror of the
-            # reference's augment=True predicts)
+            # hflip TTA: merged candidate set (mirror of the reference's
+            # augment=True predicts)
             outs_f = model.apply({"params": params}, jnp.flip(images, axis=2))
             s2, b2 = decode_all(outs_f, cfg.img_size)
             b2 = b2.at[..., 0].set(1.0 - b2[..., 0])
             scores = jnp.concatenate([scores, s2], axis=1)
             boxes = jnp.concatenate([boxes, b2], axis=1)
         conf = scores[..., 0]  # single class
-        valid = conf >= conf_thr
+        k = min(pre_nms_topk, conf.shape[1])
+        top_conf, top_idx = jax.lax.top_k(conf, k)
+        top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        valid = top_conf >= conf_thr
 
         def per_image(bx, sc, vl):
             keep, kv = nms(bx, sc, iou_thr, max_out, valid_mask=vl)
             return bx[keep], sc[keep], kv
 
-        return jax.vmap(per_image)(boxes, conf, valid)
+        return jax.vmap(per_image)(top_boxes, top_conf, valid)
 
     return predict

@@ -359,6 +359,26 @@ def make_eval_step(cfg: CalibratorConfig, g_model):
     return eval_step
 
 
+def make_sample_fn(cfg: CalibratorConfig, g_model):
+    """(pred, refined, gt) patch triplets for sample grids
+    (cgan_train_enhanced.py:377-392)."""
+
+    @jax.jit
+    def sample(g_params, data: DeviceData, idx):
+        pred_patch = normalize_patch(data.pred_patch[idx])
+        gt_patch = normalize_patch(data.gt_patch[idx])
+        pred_box = data.pred_box[idx]
+        ci = data.canvas_idx[idx]
+        deltas = g_model.apply({"params": g_params}, pred_patch)
+        refined = _refined_patches(
+            data.canvases[ci], data.canvas_wh[ci], pred_box, deltas,
+            pred_patch, cfg.data.img_size, 0.0, smooth=False,
+        )
+        return pred_patch, refined, gt_patch
+
+    return sample
+
+
 def _batch_indices(n: int, batch_size: int, rng: np.random.Generator | None):
     """Static-shape batches: shuffled (or sequential) indices padded to a
     multiple of batch_size, with 0/1 weights for the padding tail."""
@@ -393,11 +413,14 @@ def train_calibrator(
     from gcssl_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
     from gcssl_tpu.data.calibrator import train_val_split
 
+    from gcssl_tpu.obs.samples import save_sample_grid
+
     tcfg = cfg.train
     rng = jax.random.PRNGKey(tcfg.seed)
     state, g_model, d_model = create_train_state(cfg, rng)
     step_fn = make_train_step(cfg, g_model, d_model)
     eval_fn = make_eval_step(cfg, g_model)
+    sample_fn = make_sample_fn(cfg, g_model)
 
     mesh = mesh or make_mesh(cfg.mesh)
     repl = replicated_sharding(mesh)
@@ -444,6 +467,18 @@ def train_calibrator(
         mean_iou_before = sb / max(1.0, sw)
         mean_iou_after = sa / max(1.0, sw)
         delta_iou = mean_iou_after - mean_iou_before
+
+        # sample grids (reference: first batch of every 10th epoch, :377)
+        if tcfg.sample_every_epochs and epoch % tcfg.sample_every_epochs == 1:
+            sidx = (
+                jax.device_put(jnp.asarray(train_idx[:4].astype(np.int32)), repl)
+                if len(train_idx) >= 4 else None
+            )
+            if sidx is not None:
+                p, r, g = jax.device_get(sample_fn(state.g_params, data, sidx))
+                save_sample_grid(
+                    Path(tcfg.save_dir) / "samples" / f"epoch_{epoch}.png", p, r, g
+                )
 
         sched_g.step(delta_iou)
         record = {

@@ -82,29 +82,67 @@ class TestAssignment:
         assert not np.asarray(pos).any()
 
 
+def make_batch4(cfg, b=4, seed=0):
+    """(images4, boxes4, mask4, w) with one centered box per source."""
+    rng = np.random.default_rng(seed)
+    images4 = jnp.asarray(
+        rng.integers(0, 255, (b, 4, 128, 128, 3), dtype=np.uint8)
+    )
+    boxes4 = jnp.zeros((b, 4, cfg.max_boxes, 4)).at[:, :, 0, :].set(
+        jnp.asarray([0.5, 0.5, 0.3, 0.3])
+    )
+    mask4 = jnp.zeros((b, 4, cfg.max_boxes), bool).at[:, :, 0].set(True)
+    return images4, boxes4, mask4, jnp.ones(b, jnp.float32)
+
+
 class TestTraining:
     def test_loss_decreases_overfitting_one_batch(self):
-        cfg = small_cfg()
+        cfg = small_cfg(ema_decay=0.0)
         state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(0))
         step = make_detector_train_step(cfg, model, tx)
-        rng = np.random.default_rng(0)
-        images = jnp.asarray(
-            rng.integers(0, 255, (4, 128, 128, 3), dtype=np.uint8)
-        )
-        boxes = jnp.asarray(
-            np.tile([[0.5, 0.5, 0.3, 0.3]], (4, 1))[:, None, :].repeat(1, 1)
-        ).reshape(4, 1, 4)
-        boxes = jnp.concatenate(
-            [boxes, jnp.zeros((4, cfg.max_boxes - 1, 4))], axis=1
-        )
-        mask = jnp.zeros((4, cfg.max_boxes), bool).at[:, 0].set(True)
-        w = jnp.ones(4, jnp.float32)
+        images4, boxes4, mask4, w = make_batch4(cfg)
         losses = []
         for i in range(30):
-            state, m = step(state, images, boxes, mask, w, jnp.float32(1e-3))
+            state, m = step(
+                state, images4, boxes4, mask4, w, jnp.float32(1e-3),
+                use_mosaic=False,
+            )
             losses.append(float(m["loss"]))
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0] * 0.7, f"no learning: {losses[::10]}"
+
+    def test_mosaic_step_runs_and_ema_updates(self):
+        cfg = small_cfg()
+        state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(0))
+        step = make_detector_train_step(cfg, model, tx)
+        images4, boxes4, mask4, w = make_batch4(cfg)
+        ema_before = jax.device_get(state.ema_params)
+        state, m = step(
+            state, images4, boxes4, mask4, w, jnp.float32(1e-3), use_mosaic=True
+        )
+        assert np.isfinite(float(m["loss"]))
+        changed = jax.tree.map(
+            lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+            ema_before, jax.device_get(state.ema_params),
+        )
+        assert any(jax.tree.leaves(changed))
+
+    def test_mosaic_batch_geometry(self):
+        from gcssl_tpu.train.detector import mosaic_batch
+
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.uniform(0, 1, (2, 4, 64, 64, 3)), jnp.float32)
+        boxes = jnp.zeros((2, 4, 3, 4)).at[:, :, 0].set(
+            jnp.asarray([0.5, 0.5, 0.4, 0.4])
+        )
+        mask = jnp.zeros((2, 4, 3), bool).at[:, :, 0].set(True)
+        out, nb, nm = mosaic_batch(jax.random.PRNGKey(0), imgs, boxes, mask)
+        assert out.shape == (2, 64, 64, 3)
+        assert nb.shape == (2, 12, 4)
+        nb, nm = np.asarray(nb), np.asarray(nm)
+        # surviving boxes stay inside [0, 1] and in their quadrant scale
+        assert (nb[nm][:, 2:] <= 0.75).all()
+        assert nm.sum() >= 4  # the four source boxes survive
 
     def test_predict_shapes_and_validity(self):
         cfg = small_cfg()

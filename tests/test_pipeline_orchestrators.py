@@ -1,0 +1,105 @@
+"""End-to-end orchestrator tests with a stub predictor: two-stage routing,
+iterate merge, calibrate-tree — checking the exact file-tree contracts the
+reference scripts produce."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gcssl_tpu.core.config import DetectorConfig, PseudoLabelConfig
+from gcssl_tpu.data.yolo import load_yolo_txt
+from gcssl_tpu.pipeline.iterate import merge_labeled_and_pseudo
+from gcssl_tpu.pipeline.two_stage import two_stage_pseudo_label
+
+
+def make_image_dir(tmp_path, n=4, size=(160, 120)):
+    from PIL import Image
+
+    d = tmp_path / "unlabels" / "images"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 255, (size[1], size[0], 3), dtype=np.uint8)
+        ).save(d / f"u{i}.jpg")
+    return tmp_path / "unlabels"
+
+
+class StubPredict:
+    """Mimics make_detector_predict: images -> fixed boxes per call order.
+
+    Images 0, 2: one high-conf box.  Image 1: none.  Image 3: high + low.
+    """
+
+    def __init__(self, max_out=10):
+        self.max_out = max_out
+
+    def __call__(self, params, images_u8, conf_thr, iou_thr, tta=False):
+        b = images_u8.shape[0]
+        boxes = np.zeros((b, self.max_out, 4), np.float32)
+        scores = np.zeros((b, self.max_out), np.float32)
+        valid = np.zeros((b, self.max_out), bool)
+        for k in range(b):
+            # stable pseudo-prediction derived from image content hash
+            key = int(np.asarray(images_u8[k]).sum()) % 4
+            if key != 1:
+                boxes[k, 0] = [0.5, 0.5, 0.25, 0.25]
+                scores[k, 0] = 0.9
+                valid[k, 0] = scores[k, 0] >= conf_thr
+            if key == 3:
+                boxes[k, 1] = [0.2, 0.2, 0.1, 0.1]
+                scores[k, 1] = 0.5
+                valid[k, 1] = scores[k, 1] >= conf_thr
+        return jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid)
+
+
+class TestTwoStage:
+    def test_routing_and_outputs(self, tmp_path):
+        src = make_image_dir(tmp_path)
+        det_cfg = DetectorConfig(img_size=64, max_boxes=10, compute_dtype="float32")
+        pl_cfg = PseudoLabelConfig(conf_high=0.85, conf_low=0.4, tta=False)
+        counts = two_stage_pseudo_label(
+            det_cfg, pl_cfg, StubPredict(), None, src, tmp_path / "two_stage",
+            batch_size=2,
+        )
+        assert counts["stage1_high"] + counts["stage1_low"] == 4
+        dest = tmp_path / "two_stage"
+        hi1 = sorted((dest / "stage1/high/labels").glob("*.txt"))
+        assert len(hi1) == counts["stage1_high"]
+        # stage-2 outputs: every kept image has an image + label under stage2
+        hi2_imgs = list((dest / "stage2/high/images").iterdir())
+        hi2_labs = list((dest / "stage2/high/labels").glob("*.txt"))
+        assert len(hi2_imgs) == len(hi2_labs) == counts["stage2_high"]
+        assert (dest / "stage1/high_list.txt").exists()
+        # labels are valid YOLO rows without conf
+        if hi2_labs:
+            cls, boxes, conf = load_yolo_txt(hi2_labs[0], min_fields=5)
+            assert len(boxes) >= 1
+            assert (boxes >= 0).all() and (boxes <= 1).all()
+
+
+class TestIterateMerge:
+    def test_merge_union_and_conf_strip(self, tmp_path):
+        lab = tmp_path / "labeled"
+        (lab / "images").mkdir(parents=True)
+        (lab / "labels").mkdir()
+        (lab / "images" / "a.jpg").write_bytes(b"x")
+        (lab / "labels" / "a.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+
+        pi = tmp_path / "pseudo_imgs"
+        pl = tmp_path / "pseudo_lbls"
+        pi.mkdir(), pl.mkdir()
+        (pi / "b.jpg").write_bytes(b"y")
+        (pl / "b.txt").write_text("0 0.4 0.4 0.1 0.1 0.87\n")
+        # collision: labeled 'a' must win
+        (pi / "a.jpg").write_bytes(b"z")
+        (pl / "a.txt").write_text("0 0.9 0.9 0.1 0.1 0.5\n")
+
+        n = merge_labeled_and_pseudo(lab, pi, pl, tmp_path / "merged")
+        assert n == 2
+        merged = tmp_path / "merged"
+        a_rows = (merged / "labels" / "a.txt").read_text()
+        assert "0.9" not in a_rows  # labeled version kept
+        b_rows = (merged / "labels" / "b.txt").read_text().strip().split()
+        assert len(b_rows) == 5  # conf stripped for training

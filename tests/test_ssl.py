@@ -1,0 +1,136 @@
+"""Classification GAN-SSL tests: models, fused step, short training run
+(must learn the synthetic set), calibration (temperature + ECE),
+pseudo-labeling."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gcssl_tpu.core.config import SSLClassifierConfig
+from gcssl_tpu.data.ssl_datasets import (
+    make_ssl_splits,
+    synthetic_classification_set,
+)
+from gcssl_tpu.eval.calibration import (
+    apply_temperature,
+    expected_calibration_error,
+    fit_temperature,
+)
+from gcssl_tpu.models.ssl_gan import DCGANGenerator, KPlusOneDiscriminator
+from gcssl_tpu.train.ssl import (
+    create_ssl_state,
+    make_ssl_train_step,
+    pseudo_label_unlabeled,
+    train_ssl_classifier,
+)
+
+
+def tiny_cfg(**over):
+    d = dict(
+        dataset="synthetic", num_classes=4, num_labeled=80, img_size=32,
+        latent_dim=32, g_base=32, d_base=32, batch_size=32, epochs=3, lr=3e-4,
+        compute_dtype="float32", seed=0,
+    )
+    d.update(over)
+    return SSLClassifierConfig(**d)
+
+
+@pytest.fixture(scope="module")
+def splits():
+    x_tr, y_tr, x_te, y_te = synthetic_classification_set(
+        num_classes=4, img_size=32, n_train=400, n_test=80, seed=0
+    )
+    return make_ssl_splits(x_tr, y_tr, x_te, y_te, num_labeled=80, num_classes=4)
+
+
+class TestModels:
+    def test_generator_output(self):
+        g = DCGANGenerator(img_size=32, channels=3)
+        z = jnp.zeros((2, 32))
+        params = g.init(jax.random.PRNGKey(0), z)["params"]
+        out = g.apply({"params": params}, z)
+        assert out.shape == (2, 32, 32, 3)
+        assert float(jnp.max(jnp.abs(out))) <= 1.0
+
+    def test_discriminator_logits_and_features(self):
+        d = KPlusOneDiscriminator(num_classes=4)
+        x = jnp.zeros((2, 32, 32, 3))
+        params = d.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+        )["params"]
+        logits, feats = d.apply({"params": params}, x, train=False)
+        assert logits.shape == (2, 5)  # K+1
+        assert feats.ndim == 2
+
+
+class TestTraining:
+    def test_single_step_finite(self, splits):
+        cfg = tiny_cfg()
+        state, g_model, d_model, tx = create_ssl_state(cfg, jax.random.PRNGKey(0))
+        step = make_ssl_train_step(cfg, g_model, d_model, tx)
+        state, metrics = step(
+            state,
+            jnp.asarray(splits.x_lab[:32]),
+            jnp.asarray(splits.y_lab[:32], jnp.int32),
+            jnp.asarray(splits.x_unlab[:32]),
+            jnp.float32(3e-4),
+        )
+        for k, v in jax.device_get(metrics).items():
+            assert np.isfinite(v), k
+
+    def test_learns_synthetic_task(self, splits):
+        cfg = tiny_cfg(epochs=8, lr=1e-3)
+        state, models, history = train_ssl_classifier(
+            cfg, splits.x_lab, splits.y_lab, splits.x_unlab,
+            splits.x_val, splits.y_val,
+        )
+        accs = [h["val_acc"] for h in history]
+        assert accs[-1] > 0.5, f"should beat 25% chance clearly: {accs}"
+
+    def test_pseudo_labeling(self, splits):
+        cfg = tiny_cfg(epochs=5, lr=1e-3)
+        state, (g_model, d_model), _ = train_ssl_classifier(
+            cfg, splits.x_lab, splits.y_lab, splits.x_unlab,
+            splits.x_val, splits.y_val,
+        )
+        idx, labels, conf, temp = pseudo_label_unlabeled(
+            cfg, d_model, state.d_params, splits.x_unlab,
+            splits.x_val, splits.y_val, conf_thr=0.5,
+        )
+        assert temp > 0
+        assert len(idx) == len(labels) == len(conf)
+        assert (conf >= 0.5).all()
+
+
+class TestCalibration:
+    def test_ece_perfect_calibration(self):
+        # confident & correct -> ECE ~ 0
+        probs = np.tile([0.99, 0.005, 0.005], (100, 1))
+        labels = np.zeros(100, int)
+        assert expected_calibration_error(probs, labels) < 0.02
+
+    def test_ece_overconfident(self):
+        # 99% confident but only 50% correct -> ECE ~ 0.49
+        probs = np.tile([0.99, 0.01], (100, 1))
+        labels = np.asarray([0, 1] * 50)
+        ece = expected_calibration_error(probs, labels)
+        assert 0.4 < ece < 0.55
+
+    def test_temperature_reduces_nll_for_overconfident(self):
+        rng = np.random.default_rng(0)
+        # overconfident logits: scale up true-class margin, 20% wrong
+        n = 500
+        labels = rng.integers(0, 4, n)
+        logits = rng.normal(0, 1, (n, 4))
+        logits[np.arange(n), labels] += 5.0
+        flip = rng.random(n) < 0.3
+        logits[flip] = rng.normal(0, 1, (flip.sum(), 4)) * 3
+        t = fit_temperature(logits, labels)
+        assert t > 1.0  # must cool down overconfidence
+        probs_raw = apply_temperature(logits, 1.0)
+        probs_cal = apply_temperature(logits, t)
+        ece_raw = expected_calibration_error(probs_raw, labels)
+        ece_cal = expected_calibration_error(probs_cal, labels)
+        assert ece_cal <= ece_raw + 0.02
