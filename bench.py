@@ -59,6 +59,7 @@ def main() -> None:
         gt_patch=jax.random.randint(ks[3], (n, s, s, 3), 0, 255, jnp.uint8),
         delta=jax.random.normal(ks[4], (n, 4)) * 0.1,
         pred_box=boxes,
+        gt_box=jnp.clip(boxes + jax.random.normal(ks[7], (n, 4)) * 0.02, 0.05, 0.95),
         canvas_idx=jax.random.randint(ks[5], (n,), 0, m, jnp.int32),
         canvases=jax.random.randint(ks[6], (m, c, c, 3), 0, 255, jnp.uint8),
         canvas_wh=jnp.tile(jnp.asarray([[640.0, 480.0]]), (m, 1)),

@@ -118,6 +118,29 @@ def _add_paired_patches(sub):
     p.add_argument("--limit", type=int, default=None)
 
 
+def _add_eval_detector(sub):
+    p = sub.add_parser("eval-detector", help="mAP50/50-95 on a labeled tree")
+    p.add_argument("--weights-dir", required=True)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--width-mult", type=float, default=0.5)
+
+
+def _add_iterate(sub):
+    p = sub.add_parser(
+        "iterate", help="merge calibrated pseudo-labels with labeled set and retrain"
+    )
+    p.add_argument("--labeled-dir", required=True)
+    p.add_argument("--pseudo-images", required=True)
+    p.add_argument("--pseudo-labels", required=True)
+    p.add_argument("--merged-dir", required=True)
+    p.add_argument("--val-dir", required=True)
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--width-mult", type=float, default=0.5)
+
+
 def _add_train_ssl(sub):
     p = sub.add_parser("train-ssl", help="classification GAN-SSL training")
     p.add_argument("--dataset", default="synthetic")
@@ -134,7 +157,7 @@ def build_parser() -> argparse.ArgumentParser:
     for add in (
         _add_split, _add_train_detector, _add_predict, _add_two_stage,
         _add_kfold, _add_train_calibrator, _add_calibrate, _add_compare,
-        _add_paired_patches, _add_train_ssl,
+        _add_paired_patches, _add_eval_detector, _add_iterate, _add_train_ssl,
     ):
         add(sub)
     return parser
@@ -277,6 +300,37 @@ def main(argv=None) -> int:
 
         n = create_paired_patches(args.root, args.out, args.img_size, limit=args.limit)
         print(json.dumps({"pairs_written": n}))
+
+    elif args.cmd == "eval-detector":
+        from gcssl_tpu.data.detection import load_detection_tree
+        from gcssl_tpu.pipeline.detect import evaluate_on
+        from gcssl_tpu.train.detector import eval_params
+
+        cfg, state, predict_fn = _load_detector(args)
+        arrays = load_detection_tree(args.data_dir, cfg.img_size, cfg.max_boxes)
+        m = evaluate_on(predict_fn, eval_params(cfg, state), arrays)
+        print(json.dumps({
+            "map50": m.map50, "map50_95": m.map50_95,
+            "precision": m.precision, "recall": m.recall,
+        }))
+
+    elif args.cmd == "iterate":
+        from gcssl_tpu.obs.history import MetricsLogger
+        from gcssl_tpu.pipeline.iterate import (
+            merge_labeled_and_pseudo,
+            retrain_on_merged,
+        )
+
+        cfg = _detector_cfg(args)
+        n = merge_labeled_and_pseudo(
+            args.labeled_dir, args.pseudo_images, args.pseudo_labels,
+            args.merged_dir,
+        )
+        logger = MetricsLogger(args.save_dir)
+        retrain_on_merged(
+            cfg, args.merged_dir, args.val_dir, args.save_dir, log_fn=logger.log
+        )
+        print(json.dumps({"merged_images": n}))
 
     elif args.cmd == "train-ssl":
         import numpy as np

@@ -59,6 +59,10 @@ class CalibratorDataConfig:
     # Side length of the on-device full-image canvas used for differentiable
     # refined-patch crops (rebuild-specific; reference re-crops on host).
     canvas_size: int = 448
+    # True: pred/gt patches are cropped on device from the canvases inside
+    # the train step (uploads ~10x less data — decisive when host->device
+    # bandwidth is scarce).  False: byte-faithful host PIL crops are shipped.
+    device_patches: bool = False
 
 
 @dataclass
@@ -72,6 +76,11 @@ class CalibratorTrainConfig:
     beta2: float = 0.999
     lambda_iou: float = 1.0
     lambda_gp: float = 1.0
+    # Weight on the generator's adversarial term.  The reference adds it at
+    # weight 1.0 but its gradient is dead (host PIL crop); with the real
+    # on-device gradient, 1.0 overwhelms the EIoU regression — 0.1 keeps the
+    # perceptual signal subordinate to geometry.
+    lambda_adv: float = 0.1
     n_critic: int = 2
     grad_clip_norm: float = 1.0
     # ReduceLROnPlateau(mode=max, factor, patience) on delta-IoU
@@ -91,6 +100,7 @@ class CalibratorTrainConfig:
     # Sigmoid edge blend width (source px) for training-time crops; 0 = hard.
     crop_edge_softness: float = 1.0
     sample_every_epochs: int = 10
+    ckpt_every_epochs: int = 5  # periodic 'last' checkpoint for crash resume
 
 
 @dataclass

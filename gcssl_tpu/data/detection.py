@@ -102,12 +102,34 @@ def load_detection_tree(
     orig_wh = np.empty((n, 2), np.float32)
     names = []
 
+    # native C++ decode+letterbox for .jpg (native/loader.cc); PIL covers
+    # other formats and any native decode failure
+    native_done = np.zeros(n, bool)
+    jpg_idx = [i for i, p in enumerate(paths) if p.suffix.lower() in (".jpg", ".jpeg")]
+    if jpg_idx:
+        from gcssl_tpu.data.native_loader import decode_letterbox_batch
+
+        res = decode_letterbox_batch([paths[i] for i in jpg_idx], img_size, 114)
+        if res is not None:
+            imgs_n, wh_n = res
+            for k, i in enumerate(jpg_idx):
+                if wh_n[k, 0] > 0:
+                    images[i] = imgs_n[k]
+                    orig_wh[i] = wh_n[k]
+                    native_done[i] = True
+
     for i, p in enumerate(paths):
-        img = Image.open(p).convert("RGB")
-        lb, geom = letterbox_to_square(img, img_size)
-        images[i] = np.asarray(lb, np.uint8)
-        orig_wh[i] = img.size
         names.append(p.stem)
+        if native_done[i]:
+            w, h = orig_wh[i]
+            side = max(w, h)
+            geom = (int(w), int(h), int(side),
+                    int((side - w) // 2), int((side - h) // 2))
+        else:
+            img = Image.open(p).convert("RGB")
+            lb, geom = letterbox_to_square(img, img_size)
+            images[i] = np.asarray(lb, np.uint8)
+            orig_wh[i] = img.size
         c, b, _ = load_yolo_txt(lbl_dir / f"{p.stem}.txt", min_fields=5)
         b = map_boxes_to_letterbox(b, *geom)
         k = min(len(b), max_boxes)

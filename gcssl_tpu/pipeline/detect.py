@@ -89,6 +89,7 @@ def train_detector(
     save_dir: str | Path | None = None,
     log_fn=None,
     max_epochs: int | None = None,
+    resume: bool = False,
 ):
     """Epoch loop with warmup+cosine LR and early stop on val mAP50
     (patience from config, mirroring Ultralytics' patience=20)."""
@@ -118,8 +119,14 @@ def train_detector(
     ckpt = CheckpointManager(save_dir) if save_dir else None
     history = []
     best_map50, bad_epochs = -1.0, 0
-    gstep = 0
-    for epoch in range(1, n_epochs + 1):
+    start_epoch = 1
+    if resume and ckpt and ckpt.exists("last"):
+        state = ckpt.restore("last", jax.device_get(state))
+        start_epoch = int(ckpt.metadata("last").get("epoch", 0)) + 1
+        if ckpt.exists("best"):
+            best_map50 = float(ckpt.metadata("best").get("map50", -1.0))
+    gstep = (start_epoch - 1) * steps_per_epoch
+    for epoch in range(start_epoch, n_epochs + 1):
         use_mosaic = bool(
             cfg.mosaic and epoch <= n_epochs - cfg.close_mosaic_epochs
         )
@@ -165,6 +172,8 @@ def train_detector(
         history.append(rec)
         if log_fn:
             log_fn(rec)
+        if ckpt and epoch % 10 == 0:
+            ckpt.save("last", jax.device_get(state), {"epoch": epoch})
         if val_arrays is not None and bad_epochs >= cfg.patience:
             break
 

@@ -56,24 +56,37 @@ class CalibratorTrainState(struct.PyTreeNode):
 
 
 class DeviceData(struct.PyTreeNode):
-    """HBM-resident dataset (uint8 patches/canvases + f32 targets)."""
+    """HBM-resident dataset (uint8 patches/canvases + f32 targets).
 
-    pred_patch: jax.Array  # (N, S, S, 3) u8
-    gt_patch: jax.Array    # (N, S, S, 3) u8
+    In ``device_patches`` mode the pred/gt patch arrays are (N, 1, 1, 3)
+    placeholders and patches are cropped on device from the canvases inside
+    the step (10x less host->device traffic)."""
+
+    pred_patch: jax.Array  # (N, S, S, 3) u8 (or (N, 1, 1, 3) placeholder)
+    gt_patch: jax.Array    # (N, S, S, 3) u8 (or placeholder)
     delta: jax.Array       # (N, 4)
     pred_box: jax.Array    # (N, 4)
+    gt_box: jax.Array      # (N, 4)
     canvas_idx: jax.Array  # (N,) i32
     canvases: jax.Array    # (M, C, C, 3) u8
     canvas_wh: jax.Array   # (M, 2)
 
     @classmethod
-    def from_arrays(cls, arrays, indices=None) -> "DeviceData":
+    def from_arrays(cls, arrays, indices=None, device_patches: bool = False) -> "DeviceData":
         sl = slice(None) if indices is None else indices
+        if device_patches:
+            n = len(arrays.delta[sl])
+            pred_patch = jnp.zeros((n, 1, 1, 3), jnp.uint8)
+            gt_patch = jnp.zeros((n, 1, 1, 3), jnp.uint8)
+        else:
+            pred_patch = jnp.asarray(arrays.pred_patch[sl])
+            gt_patch = jnp.asarray(arrays.gt_patch[sl])
         return cls(
-            pred_patch=jnp.asarray(arrays.pred_patch[sl]),
-            gt_patch=jnp.asarray(arrays.gt_patch[sl]),
+            pred_patch=pred_patch,
+            gt_patch=gt_patch,
             delta=jnp.asarray(arrays.delta[sl]),
             pred_box=jnp.asarray(arrays.pred_box[sl]),
+            gt_box=jnp.asarray(arrays.gt_box[sl]),
             canvas_idx=jnp.asarray(arrays.canvas_idx[sl]),
             canvases=jnp.asarray(arrays.canvases),
             canvas_wh=jnp.asarray(arrays.canvas_wh),
@@ -119,6 +132,45 @@ def create_train_state(
     return state, g_model, d_model
 
 
+def _canvas_crop(
+    canvases: jax.Array,   # (B, C, C, 3) u8
+    canvas_wh: jax.Array,  # (B, 2)
+    boxes: jax.Array,      # (B, 4) original-frame normalized cxcywh
+    img_size: int,
+    edge_softness: float = 0.0,
+) -> jax.Array:
+    """Crop-letterbox normalized original-frame boxes out of letterboxed
+    canvases, clipping against the true image region (gray canvas pads act
+    like image edges, matching the reference's crop of the raw image)."""
+    W = canvas_wh[..., 0]
+    H = canvas_wh[..., 1]
+    side = jnp.maximum(W, H)
+    pad_x = (side - W) / 2
+    pad_y = (side - H) / 2
+    c = canvases.shape[1]
+    box_c = jnp.stack(
+        [
+            (boxes[..., 0] * W + pad_x) / side,
+            (boxes[..., 1] * H + pad_y) / side,
+            boxes[..., 2] * W / side,
+            boxes[..., 3] * H / side,
+        ],
+        axis=-1,
+    )
+    k = c / side
+    bounds = jnp.stack(
+        [pad_x * k, pad_y * k, (pad_x + W) * k, (pad_y + H) * k], axis=-1
+    )
+
+    def crop_one(canvas, box, bnd):
+        return crop_letterbox(
+            normalize_patch(canvas), box, img_size,
+            fill=GRAY_FILL_NORM, edge_softness=edge_softness, bounds=bnd,
+        )
+
+    return jax.vmap(crop_one)(canvases, box_c, bounds)
+
+
 def _refined_patches(
     canvases: jax.Array,      # (B, C, C, 3) u8 gathered
     canvas_wh: jax.Array,     # (B, 2) original (W, H)
@@ -158,33 +210,8 @@ def _refined_patches(
     y2 = jnp.minimum(H, (cy + h / 2) * H)
     valid = (x2 - x1 >= 10.0) & (y2 - y1 >= 10.0)
 
-    # original frame -> canvas frame (canvas = letterboxed square of side
-    # max(W, H) resized to canvas_size; see data/calibrator.py)
-    side = jnp.maximum(W, H)
-    pad_x = (side - W) / 2
-    pad_y = (side - H) / 2
-    c = canvases.shape[1]
-    box_c = jnp.stack(
-        [
-            (cx * W + pad_x) / side,
-            (cy * H + pad_y) / side,
-            w * W / side,
-            h * H / side,
-        ],
-        axis=-1,
-    )
-    # clip bounds: the true image region inside the canvas, in canvas pixels
-    k = c / side
-    bounds = jnp.stack([pad_x * k, pad_y * k, (pad_x + W) * k, (pad_y + H) * k], axis=-1)
-
-    def crop_one(canvas, box, bnd):
-        img = normalize_patch(canvas)
-        return crop_letterbox(
-            img, box, img_size,
-            fill=GRAY_FILL_NORM, edge_softness=edge_softness, bounds=bnd,
-        )
-
-    patches = jax.vmap(crop_one)(canvases, box_c, bounds)
+    boxes = jnp.stack([cx, cy, w, h], axis=-1)
+    patches = _canvas_crop(canvases, canvas_wh, boxes, img_size, edge_softness)
     return jnp.where(valid[:, None, None, None], patches, pred_patch)
 
 
@@ -222,15 +249,21 @@ def make_train_step(cfg: CalibratorConfig, g_model, d_model):
             )
         return g_model.apply({"params": params}, x)
 
+    device_patches = cfg.data.device_patches
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: CalibratorTrainState, data: DeviceData, idx, weights, lr):
-        pred_patch = normalize_patch(data.pred_patch[idx])
-        gt_patch = normalize_patch(data.gt_patch[idx])
         delta_true = data.delta[idx]
         pred_box = data.pred_box[idx]
         ci = data.canvas_idx[idx]
         canvases = data.canvases[ci]
         canvas_wh = data.canvas_wh[ci]
+        if device_patches:
+            pred_patch = _canvas_crop(canvases, canvas_wh, pred_box, img_size)
+            gt_patch = _canvas_crop(canvases, canvas_wh, data.gt_box[idx], img_size)
+        else:
+            pred_patch = normalize_patch(data.pred_patch[idx])
+            gt_patch = normalize_patch(data.gt_patch[idx])
 
         rng = state.rng
         d_params, d_stats, d_opt = state.d_params, state.d_stats, state.d_opt
@@ -310,7 +343,8 @@ def make_train_step(cfg: CalibratorConfig, g_model, d_model):
                 refined = jax.lax.stop_gradient(refined)
             fake, _ = d_apply(d_params, d_stats, pred_patch, refined)
             loss_wgan = -wmean(fake, weights)
-            return loss_iou + loss_wgan, (loss_iou, loss_wgan)
+            adv_w = 1.0 if not tcfg.adversarial_gradient else tcfg.lambda_adv
+            return loss_iou + adv_w * loss_wgan, (loss_iou, loss_wgan)
 
         (g_loss, (loss_iou, loss_wgan)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
@@ -340,11 +374,19 @@ def make_eval_step(cfg: CalibratorConfig, g_model):
     (cgan_train_enhanced.py:394-420 — note the reference compares against
     ``apply_delta(pred_box, delta_true, training=False)``, not the raw GT)."""
 
+    device_patches = cfg.data.device_patches
+
     @jax.jit
     def eval_step(g_params, data: DeviceData, idx, weights):
-        pred_patch = normalize_patch(data.pred_patch[idx])
-        delta_true = data.delta[idx]
         pred_box = data.pred_box[idx]
+        if device_patches:
+            ci = data.canvas_idx[idx]
+            pred_patch = _canvas_crop(
+                data.canvases[ci], data.canvas_wh[ci], pred_box, cfg.data.img_size
+            )
+        else:
+            pred_patch = normalize_patch(data.pred_patch[idx])
+        delta_true = data.delta[idx]
         delta_pred = g_model.apply({"params": g_params}, pred_patch)
         calibrated = delta_apply(pred_box, delta_pred, training=False)
         gt_boxes = delta_apply(pred_box, delta_true, training=False)
@@ -365,10 +407,19 @@ def make_sample_fn(cfg: CalibratorConfig, g_model):
 
     @jax.jit
     def sample(g_params, data: DeviceData, idx):
-        pred_patch = normalize_patch(data.pred_patch[idx])
-        gt_patch = normalize_patch(data.gt_patch[idx])
         pred_box = data.pred_box[idx]
         ci = data.canvas_idx[idx]
+        if cfg.data.device_patches:
+            pred_patch = _canvas_crop(
+                data.canvases[ci], data.canvas_wh[ci], pred_box, cfg.data.img_size
+            )
+            gt_patch = _canvas_crop(
+                data.canvases[ci], data.canvas_wh[ci], data.gt_box[idx],
+                cfg.data.img_size,
+            )
+        else:
+            pred_patch = normalize_patch(data.pred_patch[idx])
+            gt_patch = normalize_patch(data.gt_patch[idx])
         deltas = g_model.apply({"params": g_params}, pred_patch)
         refined = _refined_patches(
             data.canvases[ci], data.canvas_wh[ci], pred_box, deltas,
@@ -399,12 +450,14 @@ def train_calibrator(
     mesh=None,
     log_fn=None,
     max_epochs: int | None = None,
+    resume: bool = False,
 ):
     """Full training loop: epochs, validation delta-IoU, plateau LR, early
     stop, best checkpointing, history JSON — the reference's main() contract
-    (cgan_train_enhanced.py:139-551) minus W&B, plus resumability.
+    (cgan_train_enhanced.py:139-551) minus W&B, plus resumability
+    (``resume=True`` restores the full train state from save_dir/'last').
 
-    Returns (best_state_dict, history: list[dict]).
+    Returns (final_state, history: list[dict]).
     """
     import json
     from pathlib import Path
@@ -428,7 +481,7 @@ def train_calibrator(
 
     n = len(arrays)
     train_idx, val_idx = train_val_split(n, cfg.data.val_split, tcfg.seed)
-    data = DeviceData.from_arrays(arrays)
+    data = DeviceData.from_arrays(arrays, device_patches=cfg.data.device_patches)
     data = jax.tree.map(lambda x: jax.device_put(x, repl), data)
     state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
 
@@ -439,8 +492,22 @@ def train_calibrator(
 
     history: list[dict] = []
     best_delta_iou = -1.0
+    start_epoch = 1
+    # resume an interrupted run (the reference cannot — SURVEY.md §5)
+    if resume and ckpt.exists("last"):
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, repl),
+            ckpt.restore("last", jax.device_get(state)),
+        )
+        meta = ckpt.metadata("last")
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        best_delta_iou = float(ckpt.metadata("best").get("delta_iou", -1.0)) if ckpt.exists("best") else -1.0
+        hist_path = Path(tcfg.save_dir) / "training_history.json"
+        if hist_path.exists():
+            history = json.loads(hist_path.read_text())
+
     n_epochs = max_epochs or tcfg.n_epochs
-    for epoch in range(1, n_epochs + 1):
+    for epoch in range(start_epoch, n_epochs + 1):
         # keep metrics on device during the epoch: converting per-step would
         # force a host sync every step and stall the dispatch pipeline
         metric_accum = []
@@ -505,6 +572,12 @@ def train_calibrator(
         else:
             if stopper.bump():
                 break
+
+        if tcfg.ckpt_every_epochs and epoch % tcfg.ckpt_every_epochs == 0:
+            ckpt.save("last", jax.device_get(state), {"epoch": epoch})
+            (Path(tcfg.save_dir) / "training_history.json").write_text(
+                json.dumps(history, indent=2)
+            )
 
     out_root = Path(tcfg.save_dir)
     out_root.mkdir(parents=True, exist_ok=True)

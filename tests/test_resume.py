@@ -1,0 +1,32 @@
+"""Crash-resume tests: interrupted runs restart from 'last' and continue."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from gcssl_tpu.core import apply_overrides
+from gcssl_tpu.train import train_calibrator
+from tests.test_train_wgan_gp import synthetic_arrays, tiny_config
+
+
+class TestCalibratorResume:
+    def test_resume_continues_epoch_count(self, tmp_path):
+        cfg = tiny_config(tmp_path)
+        cfg = apply_overrides(cfg, {"train.ckpt_every_epochs": 1})
+        arrays = synthetic_arrays(n=24)
+        _, h1 = train_calibrator(cfg, arrays, max_epochs=2)
+        assert [h["epoch"] for h in h1] == [1, 2]
+        # resume and run 2 more
+        _, h2 = train_calibrator(cfg, arrays, max_epochs=4, resume=True)
+        assert [h["epoch"] for h in h2] == [1, 2, 3, 4]
+        hist = json.loads((tmp_path / "runs" / "training_history.json").read_text())
+        assert len(hist) == 4
+
+    def test_resume_without_checkpoint_is_fresh(self, tmp_path):
+        cfg = tiny_config(tmp_path)
+        arrays = synthetic_arrays(n=24)
+        _, h = train_calibrator(cfg, arrays, max_epochs=1, resume=True)
+        assert [x["epoch"] for x in h] == [1]

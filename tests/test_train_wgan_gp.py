@@ -118,6 +118,23 @@ class TestTrainStep:
         assert np.isfinite(results[True]["loss_wgan"])
         assert np.isfinite(results[False]["loss_wgan"])
 
+    def test_device_patches_mode(self):
+        """device_patches=True: patches cropped on device from canvases."""
+        cfg = tiny_config(**{"data.device_patches": True})
+        arrays = synthetic_arrays()
+        state, g_model, d_model = create_train_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(cfg, g_model, d_model)
+        data = DeviceData.from_arrays(arrays, device_patches=True)
+        assert data.pred_patch.shape[1] == 1  # placeholder, not shipped
+        idx = jnp.arange(8, dtype=jnp.int32)
+        w = jnp.ones(8, jnp.float32)
+        state, m = step(state, data, idx, w, jnp.float32(2e-4))
+        for k, v in jax.device_get(m).items():
+            assert np.isfinite(v), k
+        eval_step = make_eval_step(cfg, g_model)
+        b, a, ww = jax.device_get(eval_step(state.g_params, data, idx, w))
+        assert np.isfinite(b) and np.isfinite(a)
+
     def test_eval_step(self):
         cfg = tiny_config()
         arrays = synthetic_arrays()
