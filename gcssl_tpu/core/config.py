@@ -117,6 +117,9 @@ class PseudoLabelConfig:
     kfold_iou_nms: float = 0.9
     tta: bool = True
     class_filter: list[int] | None = None
+    # route images whose final set contains only low-conf boxes into
+    # stage2/only_low as well (Two-stage pseudo-labeling.py:12,104-108)
+    need_only_low: bool = False
 
 
 @dataclass
@@ -156,6 +159,8 @@ class SSLClassifierConfig:
     latent_dim: int = 100
     g_base: int = 128
     d_base: int = 96
+    d_arch: str = "conv"      # "conv" | "wrn" (WRN-28-k capacity, config 4)
+    d_widen_factor: int = 2
     batch_size: int = 128
     epochs: int = 300
     lr: float = 3.0e-4

@@ -71,6 +71,53 @@ class KPlusOneDiscriminator(nn.Module):
         return logits, features
 
 
+class WideResNetDiscriminator(nn.Module):
+    """WRN-28-k-capacity K+1 discriminator (BASELINE.json config 4: wider D
+    for CIFAR-100-scale SSL).  depth = 6n+4 with n blocks per group; widths
+    (16, 16k, 32k, 64k); GroupNorm + SiLU (batch-stat-free under DP)."""
+
+    num_classes: int = 100
+    widen_factor: int = 2
+    n_blocks: int = 4  # 28-layer equivalent: n = (28 - 4) / 6 = 4
+    dropout: float = 0.3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, train: bool = True
+    ) -> tuple[jax.Array, jax.Array]:
+        k = self.widen_factor
+        x = x.astype(self.dtype)
+        x = nn.Conv(16, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
+
+        def block(x, ch, stride):
+            residual = x
+            y = nn.GroupNorm(num_groups=min(16, x.shape[-1]), dtype=self.dtype)(x)
+            y = nn.silu(y)
+            y = nn.Conv(ch, (3, 3), strides=(stride, stride), padding="SAME",
+                        use_bias=False, dtype=self.dtype)(y)
+            y = nn.GroupNorm(num_groups=min(16, ch), dtype=self.dtype)(y)
+            y = nn.silu(y)
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            y = nn.Conv(ch, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype)(y)
+            if residual.shape != y.shape:
+                residual = nn.Conv(
+                    ch, (1, 1), strides=(stride, stride), use_bias=False,
+                    dtype=self.dtype,
+                )(residual)
+            return residual + y
+
+        for gi, ch in enumerate((16 * k, 32 * k, 64 * k)):
+            for b in range(self.n_blocks):
+                x = block(x, ch, stride=2 if (b == 0 and gi > 0) else 1)
+        x = nn.GroupNorm(num_groups=16, dtype=self.dtype)(x)
+        x = nn.silu(x)
+        features = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        logits = nn.Dense(self.num_classes + 1)(features)
+        return logits, features
+
+
 def real_class_logsumexp(logits: jax.Array) -> jax.Array:
     """log sum_k exp(logit_k) over the K real classes — the 'realness' logit
     used by the K+1 SSL objective (fake logit is the last column)."""

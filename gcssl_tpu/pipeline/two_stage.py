@@ -124,6 +124,17 @@ def two_stage_pseudo_label(
                 np.zeros(len(final), np.int32), np.clip(final, 0, 1),
             )
             n_stage2 += 1
+            # optional only-low routing (reference NEED_ONLY_LOW flag)
+            if pl_cfg.need_only_low and len(hi1) == 0:
+                only_img = stage2 / "only_low" / "images"
+                only_lab = stage2 / "only_low" / "labels"
+                only_img.mkdir(parents=True, exist_ok=True)
+                only_lab.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(p, only_img / p.name)
+                save_yolo_txt(
+                    only_lab / f"{p.stem}.txt",
+                    np.zeros(len(final), np.int32), np.clip(final, 0, 1),
+                )
 
     return {
         "stage1_high": len(kept_names),

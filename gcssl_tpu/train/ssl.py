@@ -30,6 +30,7 @@ from gcssl_tpu.core.config import SSLClassifierConfig
 from gcssl_tpu.models.ssl_gan import (
     DCGANGenerator,
     KPlusOneDiscriminator,
+    WideResNetDiscriminator,
     real_class_logsumexp,
 )
 
@@ -49,9 +50,15 @@ def create_ssl_state(cfg: SSLClassifierConfig, rng: jax.Array):
     g_model = DCGANGenerator(
         img_size=cfg.img_size, channels=channels, base=cfg.g_base, dtype=dtype
     )
-    d_model = KPlusOneDiscriminator(
-        num_classes=cfg.num_classes, base=cfg.d_base, dtype=dtype
-    )
+    if cfg.d_arch == "wrn":
+        d_model = WideResNetDiscriminator(
+            num_classes=cfg.num_classes, widen_factor=cfg.d_widen_factor,
+            dtype=dtype,
+        )
+    else:
+        d_model = KPlusOneDiscriminator(
+            num_classes=cfg.num_classes, base=cfg.d_base, dtype=dtype
+        )
     rng, gr, dr = jax.random.split(rng, 3)
     z = jnp.zeros((1, cfg.latent_dim), jnp.float32)
     x = jnp.zeros((1, cfg.img_size, cfg.img_size, channels), jnp.float32)

@@ -1,0 +1,72 @@
+"""CLI surface tests: parser coverage + host-only commands end-to-end."""
+
+import json
+
+import numpy as np
+import pytest
+
+from gcssl_tpu.cli import build_parser, main
+
+
+class TestParser:
+    @pytest.mark.parametrize(
+        "argv",
+        [
+            ["split", "--src", "a", "--dst", "b"],
+            ["train-detector", "--train-dir", "a", "--save-dir", "b"],
+            ["predict", "--weights-dir", "w", "--images", "i", "--out-labels", "o"],
+            ["two-stage", "--weights-dir", "w", "--source", "s", "--dest", "d"],
+            ["kfold", "--train-dir", "t", "--output", "o"],
+            ["train-calibrator", "--data-dir", "d", "--save-dir", "s"],
+            ["calibrate", "--weights-dir", "w"],
+            ["compare", "--pseudo", "p", "--gt", "g"],
+            ["paired-patches", "--root", "r", "--out", "o"],
+            ["eval-detector", "--weights-dir", "w", "--data-dir", "d"],
+            ["iterate", "--labeled-dir", "l", "--pseudo-images", "i",
+             "--pseudo-labels", "p", "--merged-dir", "m", "--val-dir", "v",
+             "--save-dir", "s"],
+            ["train-ssl"],
+        ],
+    )
+    def test_all_subcommands_parse(self, argv):
+        args = build_parser().parse_args(argv)
+        assert args.cmd == argv[0]
+
+    def test_missing_required_flag_errors(self, capsys):
+        with pytest.raises(SystemExit):
+            build_parser().parse_args(["split", "--src", "only"])
+
+
+class TestHostCommands:
+    def test_split_main(self, tmp_path, capsys):
+        src = tmp_path / "src"
+        (src / "images").mkdir(parents=True)
+        (src / "labels").mkdir()
+        for i in range(6):
+            (src / "images" / f"im{i}.jpg").write_bytes(b"x")
+            (src / "labels" / f"im{i}.txt").write_text("0 .5 .5 .1 .1\n")
+        rc = main(["split", "--src", str(src), "--dst", str(tmp_path / "dst"),
+                   "--counts", "3", "2"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["sizes"] == [3, 2, 1]
+
+    def test_compare_main(self, tmp_path, capsys):
+        (tmp_path / "p").mkdir()
+        (tmp_path / "g").mkdir()
+        (tmp_path / "p" / "a.txt").write_text("0 0.5 0.5 0.2 0.2 0.9\n")
+        (tmp_path / "g" / "a.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+        rc = main(["compare", "--pseudo", str(tmp_path / "p"),
+                   "--gt", str(tmp_path / "g")])
+        assert rc == 0
+        assert "Precision 1.000" in capsys.readouterr().out
+
+    def test_paired_patches_main(self, tmp_path, capsys):
+        from tests.test_data_calibrator import make_synthetic_root
+
+        root = make_synthetic_root(tmp_path)
+        rc = main(["paired-patches", "--root", str(root),
+                   "--out", str(tmp_path / "out"), "--img-size", "32"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["pairs_written"] == 3

@@ -79,6 +79,31 @@ class TestTwoStage:
             assert (boxes >= 0).all() and (boxes <= 1).all()
 
 
+class TestTwoStageOnlyLow:
+    def test_only_low_routing(self, tmp_path):
+        src = make_image_dir(tmp_path)
+        det_cfg = DetectorConfig(img_size=64, max_boxes=10, compute_dtype="float32")
+        # conf_high above every stub score -> stage-1 keeps nothing unless we
+        # drop the threshold; use conf_high above the 0.9 box so the pass-2
+        # set is all "low" for kept images
+        pl_cfg = PseudoLabelConfig(
+            conf_high=0.85, conf_low=0.4, tta=False, need_only_low=True
+        )
+        counts = two_stage_pseudo_label(
+            det_cfg, pl_cfg, StubPredict(), None, src, tmp_path / "ts",
+            batch_size=2,
+        )
+        only_low = tmp_path / "ts" / "stage2" / "only_low"
+        # Stage 2 only visits images that had >=1 stage-1 high box, so the
+        # hi1-empty condition never fires — the reference's NEED_ONLY_LOW
+        # branch (Two-stage pseudo-labeling.py:104-108) is equally dead under
+        # its own flow; we preserve the flag and its (non-)behavior.
+        assert counts["stage2_high"] >= 0
+        assert not only_low.exists() or not any(
+            (only_low / "images").iterdir()
+        )
+
+
 class TestIterateMerge:
     def test_merge_union_and_conf_strip(self, tmp_path):
         lab = tmp_path / "labeled"

@@ -54,6 +54,30 @@ class TestModels:
         assert out.shape == (2, 32, 32, 3)
         assert float(jnp.max(jnp.abs(out))) <= 1.0
 
+    def test_wrn_discriminator(self):
+        import jax
+
+        from gcssl_tpu.models.ssl_gan import WideResNetDiscriminator
+
+        d = WideResNetDiscriminator(num_classes=10, widen_factor=1, n_blocks=1)
+        x = jnp.zeros((2, 32, 32, 3))
+        params = d.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+        )["params"]
+        logits, feats = d.apply({"params": params}, x, train=False)
+        assert logits.shape == (2, 11)
+        assert feats.shape[-1] == 64  # 64 * k
+
+    def test_wrn_selected_from_config(self):
+        import jax
+
+        from gcssl_tpu.models.ssl_gan import WideResNetDiscriminator
+        from gcssl_tpu.train.ssl import create_ssl_state
+
+        cfg = tiny_cfg(d_arch="wrn", d_widen_factor=1)
+        _, _, d_model, _ = create_ssl_state(cfg, jax.random.PRNGKey(0))
+        assert isinstance(d_model, WideResNetDiscriminator)
+
     def test_discriminator_logits_and_features(self):
         d = KPlusOneDiscriminator(num_classes=4)
         x = jnp.zeros((2, 32, 32, 3))
