@@ -148,6 +148,7 @@ def _add_train_ssl(sub):
     p.add_argument("--num-labeled", type=int, default=4000)
     p.add_argument("--num-classes", type=int, default=10)
     p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--d-arch", default="conv", choices=["conv", "wrn"])
     p.add_argument("--save-dir", default="runs/ssl")
 
 
@@ -347,6 +348,7 @@ def main(argv=None) -> int:
         cfg = SSLClassifierConfig(
             dataset=args.dataset, num_classes=args.num_classes,
             num_labeled=args.num_labeled, epochs=args.epochs,
+            d_arch=args.d_arch,
         )
         if args.npz:
             data = load_npz_dataset(args.npz)
