@@ -465,6 +465,7 @@ def train_calibrator(
     from gcssl_tpu.core.checkpoint import CheckpointManager
     from gcssl_tpu.core.mesh import data_sharding, make_mesh, replicated_sharding
     from gcssl_tpu.data.calibrator import train_val_split
+    from gcssl_tpu.train.schedule import ReduceLROnPlateau
 
     from gcssl_tpu.obs.samples import save_sample_grid
 
@@ -485,8 +486,11 @@ def train_calibrator(
     data = jax.tree.map(lambda x: jax.device_put(x, repl), data)
     state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
 
-    sched_g = ReduceLROnPlateauFactory(tcfg)
-    stopper = EarlyStoppingFactory(tcfg)
+    sched_g = ReduceLROnPlateau(
+        initial_lr=tcfg.lr, factor=tcfg.plateau_factor,
+        patience=tcfg.plateau_patience,
+    )
+    bad_epochs = 0
     ckpt = CheckpointManager(Path(tcfg.save_dir))
     np_rng = np.random.default_rng(tcfg.seed)
 
@@ -568,9 +572,10 @@ def train_calibrator(
                 "best", jax.device_get(state),
                 {"epoch": epoch, "delta_iou": delta_iou},
             )
-            stopper.reset_counter()
+            bad_epochs = 0
         else:
-            if stopper.bump():
+            bad_epochs += 1
+            if bad_epochs >= tcfg.early_stop.patience:
                 break
 
         if tcfg.ckpt_every_epochs and epoch % tcfg.ckpt_every_epochs == 0:
@@ -584,34 +589,3 @@ def train_calibrator(
     (out_root / "training_history.json").write_text(json.dumps(history, indent=2))
     ckpt.save("last", jax.device_get(state), {"epoch": history[-1]["epoch"] if history else 0})
     return state, history
-
-
-class ReduceLROnPlateauFactory:
-    def __init__(self, tcfg):
-        from gcssl_tpu.train.schedule import ReduceLROnPlateau
-
-        self._s = ReduceLROnPlateau(
-            initial_lr=tcfg.lr,
-            factor=tcfg.plateau_factor,
-            patience=tcfg.plateau_patience,
-        )
-
-    @property
-    def lr(self):
-        return self._s.lr
-
-    def step(self, metric):
-        return self._s.step(metric)
-
-
-class EarlyStoppingFactory:
-    def __init__(self, tcfg):
-        self.patience = tcfg.early_stop.patience
-        self.count = 0
-
-    def reset_counter(self):
-        self.count = 0
-
-    def bump(self) -> bool:
-        self.count += 1
-        return self.count >= self.patience
