@@ -56,11 +56,16 @@ def predict_arrays(
     batch_size: int = 16,
 ):
     """Run batched prediction; returns per-image (boxes cxcywh letterboxed
-    frame, scores) lists."""
+    frame, scores) lists.
+
+    Images are device_put ONCE and batches gathered by index on device —
+    on links where host->device bandwidth is scarce, per-batch uploads
+    would dominate wall time."""
     out_boxes, out_scores = [], []
     n = len(arrays)
+    images_dev = jnp.asarray(arrays.images) if n else None
     for idx, w in _batches(n, batch_size):
-        imgs = jnp.asarray(arrays.images[idx])
+        imgs = images_dev[jnp.asarray(idx)]
         boxes, scores, valid = jax.device_get(
             predict_fn(params, imgs, conf_thr, iou_thr, tta)
         )
