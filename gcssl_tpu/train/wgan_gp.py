@@ -505,6 +505,12 @@ def train_calibrator(
         )
         meta = ckpt.metadata("last")
         start_epoch = int(meta.get("epoch", 0)) + 1
+        # restore host-side scheduler state (LR plateau + early-stop counter)
+        if "lr" in meta:
+            sched_g.lr = float(meta["lr"])
+            sched_g.best = float(meta.get("sched_best", float("-inf")))
+            sched_g.num_bad_epochs = int(meta.get("sched_bad_epochs", 0))
+            bad_epochs = int(meta.get("bad_epochs", 0))
         best_delta_iou = float(ckpt.metadata("best").get("delta_iou", -1.0)) if ckpt.exists("best") else -1.0
         hist_path = Path(tcfg.save_dir) / "training_history.json"
         if hist_path.exists():
@@ -579,7 +585,12 @@ def train_calibrator(
                 break
 
         if tcfg.ckpt_every_epochs and epoch % tcfg.ckpt_every_epochs == 0:
-            ckpt.save("last", jax.device_get(state), {"epoch": epoch})
+            ckpt.save(
+                "last", jax.device_get(state),
+                {"epoch": epoch, "lr": sched_g.lr, "sched_best": sched_g.best,
+                 "sched_bad_epochs": sched_g.num_bad_epochs,
+                 "bad_epochs": bad_epochs},
+            )
             (Path(tcfg.save_dir) / "training_history.json").write_text(
                 json.dumps(history, indent=2)
             )
@@ -587,5 +598,10 @@ def train_calibrator(
     out_root = Path(tcfg.save_dir)
     out_root.mkdir(parents=True, exist_ok=True)
     (out_root / "training_history.json").write_text(json.dumps(history, indent=2))
-    ckpt.save("last", jax.device_get(state), {"epoch": history[-1]["epoch"] if history else 0})
+    ckpt.save(
+        "last", jax.device_get(state),
+        {"epoch": history[-1]["epoch"] if history else 0,
+         "lr": sched_g.lr, "sched_best": sched_g.best,
+         "sched_bad_epochs": sched_g.num_bad_epochs, "bad_epochs": bad_epochs},
+    )
     return state, history

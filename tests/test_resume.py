@@ -25,6 +25,17 @@ class TestCalibratorResume:
         hist = json.loads((tmp_path / "runs" / "training_history.json").read_text())
         assert len(hist) == 4
 
+    def test_resume_restores_scheduler_state(self, tmp_path):
+        import json as _json
+
+        cfg = tiny_config(tmp_path)
+        cfg = apply_overrides(cfg, {"train.ckpt_every_epochs": 1})
+        arrays = synthetic_arrays(n=24)
+        train_calibrator(cfg, arrays, max_epochs=2)
+        meta = _json.loads((tmp_path / "runs" / "last.json").read_text())
+        assert "lr" in meta and meta["lr"] > 0
+        assert "sched_best" in meta and "bad_epochs" in meta
+
     def test_resume_without_checkpoint_is_fresh(self, tmp_path):
         cfg = tiny_config(tmp_path)
         arrays = synthetic_arrays(n=24)
