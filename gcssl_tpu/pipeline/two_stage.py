@@ -11,8 +11,9 @@ Twin of /root/reference/Two-stage pseudo-labeling.py:
   boxes and are rewritten under ``stage2/high`` (:68-111).
 
 TPU-native: predictions run as jitted batches over the whole pool (the
-reference does one model.predict per image); the IoU filter runs on device.
-File routing stays host-side.
+reference does one model.predict per image); the per-image IoU overlap
+filter and file routing stay host-side (numpy) — the box sets are tiny and
+per-image device calls would cost a round trip each.
 """
 
 from __future__ import annotations
@@ -22,12 +23,9 @@ from pathlib import Path
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from gcssl_tpu.core.config import DetectorConfig, PseudoLabelConfig
 from gcssl_tpu.data.detection import load_detection_tree, map_boxes_from_letterbox
 from gcssl_tpu.data.yolo import list_images, load_yolo_txt, save_yolo_txt
-from gcssl_tpu.ops.boxes import iou_pairwise
 from gcssl_tpu.pipeline.detect import predict_arrays
 
 
@@ -35,15 +33,26 @@ def _filter_low_by_overlap(
     low_boxes: np.ndarray, high_boxes: np.ndarray, overlap_thr: float
 ) -> np.ndarray:
     """Keep low-conf boxes whose max IoU vs high boxes < thr
-    (Two-stage pseudo-labeling.py:86-93, helper iou_max :24-25)."""
+    (Two-stage pseudo-labeling.py:86-93, helper iou_max :24-25).
+
+    Pure numpy: the per-image box sets here are tiny, and a device call per
+    image costs a full host<->device round trip on remote-attached TPUs —
+    measured ~1 s/image through the relay, which dominated stage 2.
+    """
     if len(low_boxes) == 0:
         return np.zeros(0, bool)
     if len(high_boxes) == 0:
         return np.ones(len(low_boxes), bool)
-    iou = np.asarray(
-        iou_pairwise(jnp.asarray(low_boxes, jnp.float32),
-                     jnp.asarray(high_boxes, jnp.float32))
-    )
+    lo = np.asarray(low_boxes, np.float32)
+    hi = np.asarray(high_boxes, np.float32)
+    lo_xy = np.concatenate([lo[:, :2] - lo[:, 2:] / 2, lo[:, :2] + lo[:, 2:] / 2], 1)
+    hi_xy = np.concatenate([hi[:, :2] - hi[:, 2:] / 2, hi[:, :2] + hi[:, 2:] / 2], 1)
+    tl = np.maximum(lo_xy[:, None, :2], hi_xy[None, :, :2])
+    br = np.minimum(lo_xy[:, None, 2:], hi_xy[None, :, 2:])
+    inter = np.prod(np.clip(br - tl, 0, None), axis=-1)
+    area_lo = np.prod(lo[:, 2:], axis=-1)[:, None]
+    area_hi = np.prod(hi[:, 2:], axis=-1)[None, :]
+    iou = inter / np.maximum(area_lo + area_hi - inter, 1e-9)
     return iou.max(axis=1) < overlap_thr
 
 
