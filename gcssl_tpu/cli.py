@@ -272,6 +272,9 @@ def main(argv=None) -> int:
         arrays = load_or_build(
             args.data_dir, cfg.data.iou_threshold, cfg.data.img_size,
             cfg.data.canvas_size, cache_dir=args.cache_dir,
+            # device-patch configs crop on device from the canvases; skip the
+            # (minutes-long) host PIL patch pass they never read
+            skip_patches=cfg.data.device_patches,
         )
         logger = MetricsLogger(args.save_dir)
         train_calibrator(cfg, arrays, log_fn=logger.log)

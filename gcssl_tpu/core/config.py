@@ -145,6 +145,13 @@ class DetectorConfig:
     mosaic: bool = True            # 4-image mosaic augmentation (device-side)
     close_mosaic_epochs: int = 15  # disable mosaic for the last N epochs
     ema_decay: float = 0.9995      # weight EMA used for eval/predict (0 = off)
+    assigner: str = "tal"          # "tal" (task-aligned) | "fcos" (center/range)
+    tal_topk: int = 10
+    cls_weight: float = 0.5        # TAL loss weights (YOLOv8-style ratio)
+    box_weight: float = 7.5
+    zoom_min: float = 0.5          # mosaic view zoom range (out px / canvas px)
+    zoom_max: float = 1.5
+    mosaic_max_boxes: int = 120    # static GT budget after mosaic compaction
 
 
 @dataclass

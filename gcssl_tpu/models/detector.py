@@ -199,3 +199,24 @@ def decode_all(outs, img_size: int):
         scores.append(s)
         boxes.append(bx)
     return jnp.concatenate(scores, axis=1), jnp.concatenate(boxes, axis=1)
+
+
+def flat_logits(outs):
+    """Concatenate raw per-level class logits -> (B, N, C)."""
+    return jnp.concatenate(
+        [c.reshape(c.shape[0], -1, c.shape[-1]) for c, _ in outs], axis=1
+    )
+
+
+def anchor_grid(img_size: int):
+    """All-level cell centers -> (anchors (N, 2) normalized xy,
+    strides (N,) float px)."""
+    pts, sts = [], []
+    for stride in STRIDES:
+        h = w = img_size // stride
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride / img_size
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride / img_size
+        cy, cx = jnp.meshgrid(ys, xs, indexing="ij")
+        pts.append(jnp.stack([cx.reshape(-1), cy.reshape(-1)], axis=-1))
+        sts.append(jnp.full((h * w,), float(stride), jnp.float32))
+    return jnp.concatenate(pts, axis=0), jnp.concatenate(sts, axis=0)

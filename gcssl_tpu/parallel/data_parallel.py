@@ -44,19 +44,17 @@ def make_shard_map_step(grad_fn, mesh: Mesh, axis: str = "data"):
 
     Returns a jitted function with params replicated and batch sharded.
     """
-    from jax.experimental.shard_map import shard_map
-
     def per_shard(params, batch):
         loss, grads = grad_fn(params, batch)
         loss = jax.lax.pmean(loss, axis_name=axis)
         grads = cross_replica_mean(grads, axis)
         return loss, grads
 
-    mapped = shard_map(
+    mapped = jax.shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)

@@ -64,12 +64,16 @@ def predict_arrays(
     out_boxes, out_scores = [], []
     n = len(arrays)
     images_dev = jnp.asarray(arrays.images) if n else None
+    # dispatch every batch first, fetch once: a device_get per batch would
+    # host-sync each dispatch and serialize the pipeline
+    pending = []
     for idx, w in _batches(n, batch_size):
         imgs = images_dev[jnp.asarray(idx)]
-        boxes, scores, valid = jax.device_get(
-            predict_fn(params, imgs, conf_thr, iou_thr, tta)
-        )
-        for k in range(len(idx)):
+        pending.append((predict_fn(params, imgs, conf_thr, iou_thr, tta), w))
+    for (boxes, scores, valid), w in [
+        (jax.device_get(p), w) for p, w in pending
+    ]:
+        for k in range(len(w)):
             if w[k] == 0:
                 continue
             v = valid[k]
@@ -95,14 +99,54 @@ def train_detector(
     log_fn=None,
     max_epochs: int | None = None,
     resume: bool = False,
+    init_from: str | Path | None = None,
 ):
     """Epoch loop with warmup+cosine LR and early stop on val mAP50
-    (patience from config, mirroring Ultralytics' patience=20)."""
+    (patience from config, mirroring Ultralytics' patience=20).
+
+    ``init_from``: path to a .msgpack checkpoint whose top-level dict has a
+    'params' entry; any subtree whose name matches the fresh detector params
+    (e.g. a self-supervised pretrained 'backbone') is grafted in."""
     from gcssl_tpu.core.checkpoint import CheckpointManager
 
     state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(cfg.seed))
+    if init_from:
+        from flax import serialization
+
+        raw = serialization.msgpack_restore(Path(init_from).read_bytes())
+        src = raw.get("params", raw)
+
+        def graft(dst, sub):
+            merged, used = {}, 0
+            for k, v in dst.items():
+                if k in sub:
+                    if isinstance(v, dict):
+                        merged[k], u = graft(v, sub[k])
+                        used += u
+                    elif np.shape(v) == np.shape(sub[k]):
+                        merged[k] = jnp.asarray(sub[k])
+                        used += 1
+                    else:
+                        merged[k] = v
+                else:
+                    merged[k] = v
+            return merged, used
+
+        params, n_used = graft(jax.device_get(state.params), src)
+        if n_used == 0:
+            raise ValueError(f"init_from {init_from}: no matching param leaves")
+        # independent buffers for ema (sharing them would double-donate the
+        # same buffer in the donated train step)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, params),
+            ema_params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
+        )
     step_fn = make_detector_train_step(cfg, model, tx)
-    predict_fn = make_detector_predict(cfg, model)
+    # crowd-dense val images need a bigger detection budget than the
+    # pipeline's default max_boxes cap for a faithful AP at high recall
+    predict_fn = make_detector_predict(
+        cfg, model, max_out=max(300, cfg.max_boxes), pre_nms_topk=700
+    )
 
     n = len(train_arrays)
     rng = np.random.default_rng(cfg.seed)

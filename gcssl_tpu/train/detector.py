@@ -20,8 +20,15 @@ import optax
 from flax import struct
 
 from gcssl_tpu.core.config import DetectorConfig
-from gcssl_tpu.models.detector import STRIDES, Detector, decode_all
-from gcssl_tpu.ops.boxes import cxcywh_to_xyxy, iou_elementwise
+from gcssl_tpu.models.detector import (
+    STRIDES,
+    Detector,
+    anchor_grid,
+    decode_all,
+    flat_logits,
+)
+from gcssl_tpu.ops.boxes import cxcywh_to_xyxy, eiou, iou_elementwise
+from gcssl_tpu.train.assign import tal_assign
 
 
 class DetectorTrainState(struct.PyTreeNode):
@@ -152,91 +159,223 @@ def detection_loss(outs, gt_boxes, gt_mask, img_size: int, weights):
     return total_cls / norm, total_box / norm
 
 
+def detection_loss_tal(
+    outs,
+    gt_boxes,
+    gt_mask,
+    img_size: int,
+    weights,
+    topk: int = 10,
+    cls_weight: float = 0.5,
+    box_weight: float = 7.5,
+):
+    """Task-aligned loss (the YOLOv8-style objective, independently built —
+    see train/assign.py): soft-target BCE on every cell + EIoU box loss on
+    positives, both normalized by the summed quality targets.
+
+    outs: list of (cls_logits (B,H,W,1), ltrb (B,H,W,4)); single class.
+    gt_boxes: (B, G, 4) normalized cxcywh; gt_mask: (B, G); weights: (B,).
+    """
+    scores, boxes = decode_all(outs, img_size)      # (B,N,1), (B,N,4)
+    logits = flat_logits(outs)[..., 0]              # (B, N)
+    anchors, _ = anchor_grid(img_size)              # (N, 2)
+
+    probs_sg = jax.lax.stop_gradient(scores[..., 0])
+    boxes_sg = jax.lax.stop_gradient(boxes)
+    cls_t, box_t, pos = jax.vmap(
+        lambda pb, pp, gb, gm: tal_assign(pb, pp, gb, gm, anchors, topk=topk)
+    )(boxes_sg, probs_sg, gt_boxes, gt_mask)
+    # zero out padded batch rows before normalization
+    cls_t = cls_t * weights[:, None]
+    pos = pos & (weights[:, None] > 0)
+
+    target_sum = jnp.maximum(jnp.sum(cls_t), 1.0)
+    ce = optax.sigmoid_binary_cross_entropy(logits, cls_t)
+    cls_loss = jnp.sum(ce * weights[:, None]) / target_sum
+
+    box_iou = eiou(boxes, box_t)                    # (B, N)
+    box_loss = jnp.sum((1.0 - box_iou) * cls_t * pos) / target_sum
+    return cls_weight * cls_loss, box_weight * box_loss
+
+
 # ---------------------------------------------------------------------------
 # augmentation (device-side, fused into the step)
 # ---------------------------------------------------------------------------
 
 
 def augment_batch(rng, images, boxes, mask):
-    """hflip (p=.5) + brightness jitter; boxes follow the flip."""
+    """hflip (p=.5) + photometric jitter (brightness/contrast/saturation);
+    boxes follow the flip."""
     b = images.shape[0]
-    r1, r2 = jax.random.split(rng)
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
     flip = jax.random.bernoulli(r1, 0.5, (b,))
     flipped = jnp.flip(images, axis=2)
     images = jnp.where(flip[:, None, None, None], flipped, images)
     fboxes = boxes.at[..., 0].set(1.0 - boxes[..., 0])
     boxes = jnp.where(flip[:, None, None], fboxes, boxes)
-    gain = jax.random.uniform(r2, (b, 1, 1, 1), minval=0.8, maxval=1.2)
-    images = jnp.clip(images * gain, 0.0, 1.0)
+
+    gain = jax.random.uniform(r2, (b, 1, 1, 1), minval=0.7, maxval=1.3)
+    images = images * gain
+    sat = jax.random.uniform(r3, (b, 1, 1, 1), minval=0.7, maxval=1.3)
+    gray = jnp.mean(images, axis=-1, keepdims=True)
+    images = gray + sat * (images - gray)
+    con = jax.random.uniform(r4, (b, 1, 1, 1), minval=0.8, maxval=1.2)
+    mean = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
+    images = jnp.clip(mean + con * (images - mean), 0.0, 1.0)
     return images, boxes, mask
 
 
-def mosaic_batch(rng, images4, boxes4, mask4):
-    """Device-side 4-image mosaic (static shapes).
+def _clip_boxes(nbx, nmsk, min_wh: float, vis_thr: float = 0.25):
+    """Clip transformed cxcywh boxes to [0,1]; keep boxes that stay bigger
+    than ``min_wh`` with ≥ ``vis_thr`` of their (transformed) area visible."""
+    x1 = jnp.clip(nbx[..., 0] - nbx[..., 2] / 2, 0.0, 1.0)
+    y1 = jnp.clip(nbx[..., 1] - nbx[..., 3] / 2, 0.0, 1.0)
+    x2 = jnp.clip(nbx[..., 0] + nbx[..., 2] / 2, 0.0, 1.0)
+    y2 = jnp.clip(nbx[..., 1] + nbx[..., 3] / 2, 0.0, 1.0)
+    w, h = x2 - x1, y2 - y1
+    vis = (w * h) / jnp.maximum(nbx[..., 2] * nbx[..., 3], 1e-9)
+    keep = nmsk & (w > min_wh) & (h > min_wh) & (vis > vis_thr)
+    out = jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2, w, h], axis=-1)
+    return out, keep
 
-    Each output sample places 4 source images into the quadrants of a random
-    center split — the small-object-friendly augmentation Ultralytics relies
-    on for from-scratch training.  Implemented as 4 per-sample
-    scale_and_translate resizes + quadrant masks (all MXU/VPU work, no host).
+
+def _compact_boxes(nbx, nmsk, maxb: int):
+    """Keep at most ``maxb`` boxes per image, valid ones first (static)."""
+    order = jnp.argsort(~nmsk, axis=-1, stable=True)[..., :maxb]
+    return (
+        jnp.take_along_axis(nbx, order[..., None], axis=-2),
+        jnp.take_along_axis(nmsk, order, axis=-1),
+    )
+
+
+def mosaic_batch(
+    rng,
+    images4,
+    boxes4,
+    mask4,
+    zoom_range=(0.5, 1.5),
+    max_out_boxes: int | None = None,
+):
+    """Device-side scale-preserving 4-image mosaic + zoom/translate affine.
+
+    The small-object-friendly augmentation from-scratch detector training
+    leans on (the reference gets it from Ultralytics' mosaic+affine — see
+    /root/reference/train.py:11-22), recast as pure XLA work: the four
+    source images tile a virtual 2S×2S canvas around a random mosaic
+    center (each at NATIVE scale — no aspect distortion), then a random
+    S/zoom-sized view of the canvas is resampled to S×S.  One
+    scale_and_translate per source + visibility masks; no host round trip.
 
     Args:
-        images4: (B, 4, S, S, 3) float source images.
+        images4: (B, 4, S, S, 3) float sources.
         boxes4: (B, 4, M, 4) normalized cxcywh per source.
         mask4: (B, 4, M) bool.
+        zoom_range: output px per canvas px; >1 zooms in.
+        max_out_boxes: compact the 4*M candidate boxes to this many.
     Returns:
-        (images (B, S, S, 3), boxes (B, 4*M, 4), mask (B, 4*M))
+        (images (B, S, S, 3), boxes (B, K, 4), mask (B, K))
     """
     b, _, s, _, c = images4.shape
     m = boxes4.shape[2]
-    cx = jax.random.uniform(rng, (b,), minval=0.3, maxval=0.7)
-    cy = jax.random.uniform(jax.random.fold_in(rng, 1), (b,), minval=0.3, maxval=0.7)
+    rs = jax.random.split(rng, 5)
+    # mosaic center in canvas units of S (canvas spans [0, 2])
+    mu = jax.random.uniform(rs[0], (b, 2), minval=0.75, maxval=1.25)
+    zoom = jax.random.uniform(
+        rs[1], (b,), minval=zoom_range[0], maxval=zoom_range[1]
+    )
+    jit_xy = jax.random.uniform(rs[2], (b, 2), minval=-0.25, maxval=0.25)
 
-    def one(imgs, bxs, msk, ccx, ccy):
-        # quadrant rects in normalized coords: (x0, y0, x1, y1)
-        rects = jnp.stack(
-            [
-                jnp.stack([0.0, 0.0, ccx, ccy]),
-                jnp.stack([ccx, 0.0, 1.0, ccy]),
-                jnp.stack([0.0, ccy, ccx, 1.0]),
-                jnp.stack([ccx, ccy, 1.0, 1.0]),
-            ]
-        )  # (4, 4)
+    def one(imgs, bxs, msk, mu_i, zoom_i, jit_i):
+        v = 1.0 / zoom_i  # view size in S units
+        # view origin: canvas center + jitter, clamped inside the canvas
+        vx0 = jnp.clip(1.0 + jit_i[0] - v / 2, 0.0, jnp.maximum(2.0 - v, 0.0))
+        vy0 = jnp.clip(1.0 + jit_i[1] - v / 2, 0.0, jnp.maximum(2.0 - v, 0.0))
+        # source rect origins on the canvas (S units): TL, TR, BL, BR tiling
+        rx0 = jnp.stack([mu_i[0] - 1, mu_i[0], mu_i[0] - 1, mu_i[0]])
+        ry0 = jnp.stack([mu_i[1] - 1, mu_i[1] - 1, mu_i[1], mu_i[1]])
 
-        grid = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+        grid = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s  # output, S units
 
-        def place(img, rect):
-            x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
-            scale = jnp.stack([(y1 - y0), (x1 - x0)])  # full img -> quadrant
-            translation = jnp.stack([y0 * s, x0 * s])
+        def place(img, ox, oy):
+            translation = jnp.stack([(oy - vy0) * zoom_i * s,
+                                     (ox - vx0) * zoom_i * s])
             out = jax.image.scale_and_translate(
-                img, (s, s, c), (0, 1), scale, translation,
+                img, (s, s, c), (0, 1),
+                jnp.stack([zoom_i, zoom_i]), translation,
                 method="linear", antialias=True,
             )
-            row_in = (grid >= y0) & (grid < y1)
-            col_in = (grid >= x0) & (grid < x1)
+            # visible span of this source in output coords (S units of out)
+            col_in = (grid >= (ox - vx0) * zoom_i) & (
+                grid < (ox + 1 - vx0) * zoom_i
+            )
+            row_in = (grid >= (oy - vy0) * zoom_i) & (
+                grid < (oy + 1 - vy0) * zoom_i
+            )
             return out, (row_in[:, None] & col_in[None, :]).astype(img.dtype)
 
-        outs, masks = jax.vmap(place)(imgs, rects)  # (4, S, S, C), (4, S, S)
+        outs, masks = jax.vmap(place)(imgs, rx0, ry0)
         canvas = jnp.sum(outs * masks[..., None], axis=0)
 
-        # boxes: source normalized -> quadrant
-        qx0, qy0 = rects[:, 0], rects[:, 1]
-        qw = rects[:, 2] - rects[:, 0]
-        qh = rects[:, 3] - rects[:, 1]
         nbx = jnp.stack(
             [
-                qx0[:, None] + bxs[..., 0] * qw[:, None],
-                qy0[:, None] + bxs[..., 1] * qh[:, None],
-                bxs[..., 2] * qw[:, None],
-                bxs[..., 3] * qh[:, None],
+                (bxs[..., 0] + rx0[:, None] - vx0) * zoom_i,
+                (bxs[..., 1] + ry0[:, None] - vy0) * zoom_i,
+                bxs[..., 2] * zoom_i,
+                bxs[..., 3] * zoom_i,
             ],
             axis=-1,
-        )  # (4, M, 4)
-        # drop boxes that became tiny slivers
-        nmsk = msk & (nbx[..., 2] > 0.004) & (nbx[..., 3] > 0.004)
-        return canvas, nbx.reshape(4 * m, 4), nmsk.reshape(4 * m)
+        )  # (4, M, 4) in output normalized coords
+        nbx, keep = _clip_boxes(nbx.reshape(4 * m, 4), msk.reshape(4 * m),
+                                min_wh=2.0 / s)
+        return canvas, nbx, keep
 
-    return jax.vmap(one)(images4, boxes4, mask4, cx, cy)
+    images, boxes, mask = jax.vmap(one)(images4, boxes4, mask4, mu, zoom, jit_xy)
+    if max_out_boxes is not None and max_out_boxes < boxes.shape[1]:
+        boxes, mask = _compact_boxes(boxes, mask, max_out_boxes)
+    return images, boxes, mask
+
+
+def affine_batch(
+    rng, images, boxes, mask, zoom_range=(0.6, 1.4), translate=0.1,
+    fill=0.447,
+):
+    """Single-image random zoom/translate (the non-mosaic epochs' affine).
+
+    Out-of-image area is filled with mid-gray; boxes are transformed,
+    clipped, and visibility-filtered like mosaic_batch."""
+    b, s, _, c = images.shape
+    r1, r2 = jax.random.split(rng)
+    zoom = jax.random.uniform(r1, (b,), minval=zoom_range[0], maxval=zoom_range[1])
+    jit_xy = jax.random.uniform(r2, (b, 2), minval=-translate, maxval=translate)
+
+    def one(img, bxs, msk, zoom_i, jit_i):
+        v = 1.0 / zoom_i
+        vx0 = 0.5 + jit_i[0] - v / 2
+        vy0 = 0.5 + jit_i[1] - v / 2
+        translation = jnp.stack([-vy0 * zoom_i * s, -vx0 * zoom_i * s])
+        out = jax.image.scale_and_translate(
+            img, (s, s, c), (0, 1), jnp.stack([zoom_i, zoom_i]), translation,
+            method="linear", antialias=True,
+        )
+        grid = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+        col_in = (grid >= -vx0 * zoom_i) & (grid < (1 - vx0) * zoom_i)
+        row_in = (grid >= -vy0 * zoom_i) & (grid < (1 - vy0) * zoom_i)
+        vis = (row_in[:, None] & col_in[None, :]).astype(img.dtype)[..., None]
+        out = out * vis + fill * (1.0 - vis)
+
+        nbx = jnp.stack(
+            [
+                (bxs[..., 0] - vx0) * zoom_i,
+                (bxs[..., 1] - vy0) * zoom_i,
+                bxs[..., 2] * zoom_i,
+                bxs[..., 3] * zoom_i,
+            ],
+            axis=-1,
+        )
+        nbx, keep = _clip_boxes(nbx, msk, min_wh=2.0 / s)
+        return out, nbx, keep
+
+    return jax.vmap(one)(images, boxes, mask, zoom, jit_xy)
 
 
 def create_detector_state(cfg: DetectorConfig, rng: jax.Array):
@@ -270,19 +409,36 @@ def make_detector_train_step(cfg: DetectorConfig, model, tx):
     hflip/brightness aug + forward/backward + Adam + weight EMA, all one
     compiled program."""
 
+    zoom_range = (cfg.zoom_min, cfg.zoom_max)
+
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("use_mosaic",))
     def step(state, images4_u8, boxes4, mask4, weights, lr, use_mosaic: bool = True):
         rng, mosaic_rng, aug_rng = jax.random.split(state.rng, 3)
         images4 = images4_u8.astype(jnp.float32) / 255.0
         if use_mosaic:
-            images, boxes, mask = mosaic_batch(mosaic_rng, images4, boxes4, mask4)
+            images, boxes, mask = mosaic_batch(
+                mosaic_rng, images4, boxes4, mask4,
+                zoom_range=zoom_range, max_out_boxes=cfg.mosaic_max_boxes,
+            )
         else:
-            images, boxes, mask = images4[:, 0], boxes4[:, 0], mask4[:, 0]
+            images, boxes, mask = affine_batch(
+                mosaic_rng, images4[:, 0], boxes4[:, 0], mask4[:, 0],
+                zoom_range=(0.75, 1.25),
+            )
         images, boxes, mask = augment_batch(aug_rng, images, boxes, mask)
 
         def loss_fn(params):
             outs = model.apply({"params": params}, images)
-            cls_l, box_l = detection_loss(outs, boxes, mask, cfg.img_size, weights)
+            if cfg.assigner == "tal":
+                cls_l, box_l = detection_loss_tal(
+                    outs, boxes, mask, cfg.img_size, weights,
+                    topk=cfg.tal_topk,
+                    cls_weight=cfg.cls_weight, box_weight=cfg.box_weight,
+                )
+            else:
+                cls_l, box_l = detection_loss(
+                    outs, boxes, mask, cfg.img_size, weights
+                )
             return cls_l + box_l, (cls_l, box_l)
 
         (loss, (cls_l, box_l)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

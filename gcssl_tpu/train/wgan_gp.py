@@ -534,13 +534,18 @@ def train_calibrator(
                       "wasserstein_distance")
         }
 
-        # validation
-        sb = sa = sw = 0.0
+        # validation: accumulate per-batch sums on device, fetch ONCE per
+        # epoch (a float() per batch would host-sync every dispatch — slow
+        # through a thin host<->device link)
+        val_accum = []
         for idx, w in _batch_indices(len(val_idx), tcfg.batch_size, None):
             bidx = jax.device_put(jnp.asarray(val_idx[idx]), dsh)
             bw = jax.device_put(jnp.asarray(w), dsh)
-            b, a, ww = eval_fn(state.g_params, data, bidx, bw)
-            sb += float(b); sa += float(a); sw += float(ww)
+            val_accum.append(eval_fn(state.g_params, data, bidx, bw))
+        vals = jax.device_get(val_accum)
+        sb = float(sum(v[0] for v in vals))
+        sa = float(sum(v[1] for v in vals))
+        sw = float(sum(v[2] for v in vals))
         mean_iou_before = sb / max(1.0, sw)
         mean_iou_after = sa / max(1.0, sw)
         delta_iou = mean_iou_after - mean_iou_before

@@ -1,0 +1,72 @@
+"""Round-2 detector training run: TAL assignment + scale-preserving mosaic.
+
+Usage: python scripts/train_det_v2.py <save_dir> [key=value overrides...]
+
+Trains on the reference dataset's labeled split (500 images) with val-mAP50
+early stopping, logging per-epoch records to <save_dir>/results.json and a
+live train.log. Designed for long unattended TPU runs (resume-safe).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from gcssl_tpu.core.config import DetectorConfig, apply_overrides
+from gcssl_tpu.data.detection import load_detection_tree
+from gcssl_tpu.pipeline.detect import train_detector
+
+DATA = Path("/root/reference/datasets/500_100_100")
+
+
+def main():
+    save_dir = Path(sys.argv[1])
+    overrides = {}
+    for kv in sys.argv[2:]:
+        k, v = kv.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        overrides[k] = v
+    train_dir = overrides.pop("train_dir", str(DATA / "train"))
+    resume = bool(overrides.pop("resume", False))
+    init_from = overrides.pop("init_from", None)
+    cfg = apply_overrides(DetectorConfig(), overrides)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    log = open(save_dir / "train.log", "a")
+
+    def say(msg):
+        print(msg, flush=True)
+        print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=log, flush=True)
+
+    say(f"config: {cfg}")
+    t0 = time.time()
+    train = load_detection_tree(train_dir, cfg.img_size, cfg.max_boxes)
+    val = load_detection_tree(str(DATA / "val"), cfg.img_size, cfg.max_boxes)
+    say(f"loaded train={len(train)} val={len(val)} in {time.time()-t0:.0f}s")
+
+    last_t = [time.time()]
+
+    def log_fn(rec):
+        dt = time.time() - last_t[0]
+        last_t[0] = time.time()
+        say(
+            f"ep {rec['epoch']} loss {rec.get('loss', 0):.3f} "
+            f"map50 {rec.get('map50', -1):.4f} "
+            f"P {rec.get('precision', -1):.3f} R {rec.get('recall', -1):.3f} "
+            f"({dt:.0f}s)"
+        )
+
+    state, model, history = train_detector(
+        cfg, train, val, save_dir=save_dir, log_fn=log_fn,
+        resume=resume, init_from=init_from,
+    )
+    best = max(history, key=lambda r: r.get("map50", -1))
+    say(f"BEST map50 {best.get('map50'):.4f} @ep{best['epoch']}")
+
+
+if __name__ == "__main__":
+    main()

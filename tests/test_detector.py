@@ -201,3 +201,167 @@ class TestMAP:
         gts = [np.asarray([[0.5, 0.5, 0.2, 0.2]])]
         m = evaluate_detections([np.zeros((0, 4))], [np.zeros(0)], gts)
         assert m.map50 == 0.0
+
+
+class TestTAL:
+    def test_assign_picks_inside_anchors(self):
+        from gcssl_tpu.models.detector import anchor_grid
+        from gcssl_tpu.train.assign import tal_assign
+
+        anchors, _ = anchor_grid(128)
+        n = anchors.shape[0]
+        rng = np.random.default_rng(0)
+        # predictions: small boxes centered at each anchor, uniform probs
+        pred_boxes = jnp.concatenate(
+            [anchors, jnp.full((n, 2), 0.1)], axis=-1
+        )
+        pred_probs = jnp.full((n,), 0.5)
+        gt = jnp.asarray([[0.5, 0.5, 0.3, 0.3], [0, 0, 0, 0]])
+        gmask = jnp.asarray([True, False])
+        cls_t, box_t, pos = tal_assign(
+            pred_boxes, pred_probs, gt, gmask, anchors, topk=10
+        )
+        pos = np.asarray(pos)
+        assert 1 <= pos.sum() <= 30  # topk per level-capped positives
+        # every positive anchor lies inside the GT box
+        a = np.asarray(anchors)[pos]
+        assert (np.abs(a - 0.5) <= 0.15 + 1e-6).all()
+        # positives target the real GT
+        np.testing.assert_allclose(
+            np.asarray(box_t)[pos], np.tile([0.5, 0.5, 0.3, 0.3], (pos.sum(), 1))
+        )
+        # soft targets in (0, 1]
+        ct = np.asarray(cls_t)
+        assert (ct[pos] > 0).all() and (ct <= 1.0 + 1e-6).all()
+        assert (ct[~pos] == 0).all()
+
+    def test_conflict_resolves_to_higher_iou_gt(self):
+        from gcssl_tpu.models.detector import anchor_grid
+        from gcssl_tpu.train.assign import tal_assign
+
+        anchors, _ = anchor_grid(128)
+        n = anchors.shape[0]
+        # large pred boxes so IoU with the big GT is higher
+        pred_boxes = jnp.concatenate(
+            [anchors, jnp.full((n, 2), 0.4)], axis=-1
+        )
+        pred_probs = jnp.full((n,), 0.5)
+        # two overlapping GTs sharing center cells: big one wins (higher IoU
+        # with the big predicted boxes)
+        gt = jnp.asarray([[0.5, 0.5, 0.5, 0.5], [0.5, 0.5, 0.1, 0.1]])
+        gmask = jnp.asarray([True, True])
+        cls_t, box_t, pos = tal_assign(
+            pred_boxes, pred_probs, gt, gmask, anchors, topk=4
+        )
+        pos = np.asarray(pos)
+        bt = np.asarray(box_t)[pos]
+        center = np.all(np.abs(np.asarray(anchors)[pos] - 0.5) < 0.05, axis=1)
+        if center.any():
+            assert (bt[center][:, 2] == 0.5).all()
+
+    def test_tal_loss_finite_with_no_gt(self):
+        from gcssl_tpu.train.detector import detection_loss_tal
+
+        cfg = small_cfg()
+        model = Detector(1, cfg.width_mult, cfg.depth_mult, jnp.float32)
+        x = jnp.zeros((2, 128, 128, 3))
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        outs = model.apply({"params": params}, x)
+        gt = jnp.zeros((2, 5, 4))
+        gmask = jnp.zeros((2, 5), bool)
+        cls_l, box_l = detection_loss_tal(
+            outs, gt, gmask, 128, jnp.ones(2, jnp.float32)
+        )
+        assert np.isfinite(float(cls_l)) and np.isfinite(float(box_l))
+        assert float(box_l) == 0.0  # no positives -> no box loss
+
+    def test_padded_rows_do_not_change_loss(self):
+        from gcssl_tpu.train.detector import detection_loss_tal
+
+        cfg = small_cfg()
+        model = Detector(1, cfg.width_mult, cfg.depth_mult, jnp.float32)
+        rng = np.random.default_rng(3)
+        x1 = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)), jnp.float32)
+        xg = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x1)["params"]
+        gt1 = jnp.asarray([[[0.5, 0.5, 0.3, 0.3]]])
+        m1 = jnp.asarray([[True]])
+        outs1 = model.apply({"params": params}, x1)
+        ref = detection_loss_tal(outs1, gt1, m1, 128, jnp.ones(1))
+        # same image + a garbage padded row with weight 0
+        x2 = jnp.concatenate([x1, xg])
+        gt2 = jnp.concatenate([gt1, jnp.asarray([[[0.2, 0.8, 0.5, 0.5]]])])
+        m2 = jnp.concatenate([m1, jnp.asarray([[True]])])
+        outs2 = model.apply({"params": params}, x2)
+        pad = detection_loss_tal(outs2, gt2, m2, 128, jnp.asarray([1.0, 0.0]))
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(pad), rtol=1e-5
+        )
+
+
+class TestAffine:
+    def test_affine_shapes_and_box_validity(self):
+        from gcssl_tpu.train.detector import affine_batch
+
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.uniform(0, 1, (4, 64, 64, 3)), jnp.float32)
+        boxes = jnp.zeros((4, 3, 4)).at[:, 0].set(jnp.asarray([0.5, 0.5, 0.4, 0.4]))
+        mask = jnp.zeros((4, 3), bool).at[:, 0].set(True)
+        out, nb, nm = affine_batch(jax.random.PRNGKey(0), imgs, boxes, mask)
+        assert out.shape == (4, 64, 64, 3)
+        nb, nm = np.asarray(nb), np.asarray(nm)
+        if nm.any():
+            b = nb[nm]
+            x1 = b[:, 0] - b[:, 2] / 2
+            x2 = b[:, 0] + b[:, 2] / 2
+            assert (x1 >= -1e-5).all() and (x2 <= 1 + 1e-5).all()
+
+    def test_identity_affine_preserves_boxes(self):
+        from gcssl_tpu.train.detector import affine_batch
+
+        rng = np.random.default_rng(2)
+        imgs = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+        boxes = jnp.zeros((2, 2, 4)).at[:, 0].set(jnp.asarray([0.5, 0.5, 0.4, 0.4]))
+        mask = jnp.zeros((2, 2), bool).at[:, 0].set(True)
+        out, nb, nm = affine_batch(
+            jax.random.PRNGKey(0), imgs, boxes, mask,
+            zoom_range=(1.0, 1.0), translate=0.0,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(nb)[:, 0], [[0.5, 0.5, 0.4, 0.4]] * 2, atol=1e-6
+        )
+        assert np.asarray(nm)[:, 0].all()
+
+
+class TestMosaicV2:
+    def test_zoom_identity_center(self):
+        from gcssl_tpu.train.detector import mosaic_batch
+
+        # zoom=1 view shows an S-sized window of the 2S canvas; all four
+        # sources contribute, total visible area == full output
+        rng = np.random.default_rng(4)
+        imgs = jnp.asarray(rng.uniform(0.2, 0.8, (1, 4, 64, 64, 3)), jnp.float32)
+        boxes = jnp.zeros((1, 4, 2, 4)).at[:, :, 0].set(
+            jnp.asarray([0.5, 0.5, 0.2, 0.2])
+        )
+        mask = jnp.zeros((1, 4, 2), bool).at[:, :, 0].set(True)
+        out, nb, nm = mosaic_batch(
+            jax.random.PRNGKey(1), imgs, boxes, mask, zoom_range=(1.0, 1.0)
+        )
+        o = np.asarray(out)[0]
+        assert o.shape == (64, 64, 3)
+        # canvas fully tiled: no black background pixels
+        assert (o > 0.05).all()
+
+    def test_compaction_keeps_valid_first(self):
+        from gcssl_tpu.train.detector import _compact_boxes
+
+        nbx = jnp.asarray(np.arange(24, dtype=np.float32).reshape(1, 6, 4))
+        nm = jnp.asarray([[False, True, False, True, False, True]])
+        cb, cm = _compact_boxes(nbx, nm, 3)
+        assert cm.shape == (1, 3)
+        assert np.asarray(cm).all()
+        np.testing.assert_allclose(
+            np.asarray(cb)[0, :, 0], [4.0, 12.0, 20.0]
+        )
