@@ -1,14 +1,22 @@
-"""Benchmark: fused WGAN-GP G+D train-step throughput on real TPU hardware.
+"""Benchmark: TPU throughput + MFU for the three hot paths.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Baseline: the reference's committed CGAN run processed its train split at
-~53 images/sec on an RTX 2070 (run 3pffojdl: 6716 s for 24 epochs over
-0.8 * 18,523 = 14,818 samples/epoch — /root/reference/cgan/wandb/
-run-20250718_183815-3pffojdl/files/wandb-summary.json, matching
+Headline metric (unchanged since round 1): fused WGAN-GP G+D train-step
+throughput.  Baseline: the reference's committed CGAN run processed its
+train split at ~53 images/sec on an RTX 2070 (run 3pffojdl: 6716 s for 24
+epochs over 0.8 * 18,523 = 14,818 samples/epoch — /root/reference/cgan/
+wandb/run-20250718_183815-3pffojdl/files/wandb-summary.json, matching
 cgan/runs/exp/training_history.json).  Each "image" is one calibrator pair
 through n_critic=2 critic updates + 1 generator update (reference step
 semantics, cgan_train_enhanced.py:288-374).
+
+Extras (round 2): MFU for each path — analytic FLOPs per step taken from
+the compiled executable's XLA cost analysis, divided by measured step time
+and chip peak bf16 FLOP/s — plus detector train-step throughput (reference
+teacher: ~50 img/s, result/person/results.csv time column) and batched
+TTA+NMS inference throughput (reference: one ultralytics predict() call
+per image, ~10 img/s with TTA on the RTX 2070).
 """
 
 from __future__ import annotations
@@ -18,10 +26,39 @@ import time
 
 import numpy as np
 
-BASELINE_IMGS_PER_SEC = 53.0  # RTX 2070, reference committed run
+BASELINE_IMGS_PER_SEC = 53.0   # RTX 2070, reference committed CGAN run
+BASELINE_DET_IMGS_PER_SEC = 50.0  # reference teacher train throughput
 
 
-def main() -> None:
+def peak_flops_bf16() -> float:
+    """Per-chip peak bf16 FLOP/s by device kind (public spec numbers)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+        "v4": 275e12, "v5p": 459e12, "v5": 459e12,
+        "v6 lite": 918e12, "v6e": 918e12,
+    }
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return 197e12
+
+
+def compiled_flops(jitted, *args, **kwargs) -> float | None:
+    """FLOPs/step from the XLA cost model of the compiled executable."""
+    try:
+        compiled = jitted.lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def bench_calibrator(extras: dict) -> tuple[float, float]:
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +102,6 @@ def main() -> None:
         canvas_wh=jnp.tile(jnp.asarray([[640.0, 480.0]]), (m, 1)),
     )
     rng = np.random.default_rng(0)
-
     b = cfg.train.batch_size
     w = jnp.ones(b, jnp.float32)
     lr = jnp.float32(2e-4)
@@ -74,6 +110,8 @@ def main() -> None:
     def batch_idx(i):
         sl = perm[(i * b) % (n - b) : (i * b) % (n - b) + b]
         return jnp.asarray(sl, jnp.int32)
+
+    flops = compiled_flops(step, state, data, batch_idx(0), w, lr)
 
     # warmup / compile.  NOTE: on the axon-tunneled TPU, block_until_ready
     # returns before remote execution completes — only a data fetch (D2H)
@@ -89,6 +127,82 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     imgs_per_sec = n_steps * b / dt
+    if flops:
+        extras["calibrator_mfu"] = round(
+            flops / (dt / n_steps) / peak_flops_bf16(), 4
+        )
+        extras["calibrator_tflops_per_step"] = round(flops / 1e12, 3)
+    return imgs_per_sec, dt / n_steps
+
+
+def bench_detector(extras: dict) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gcssl_tpu.core.config import DetectorConfig
+    from gcssl_tpu.train.detector import (
+        create_detector_state,
+        make_detector_predict,
+        make_detector_train_step,
+    )
+
+    cfg = DetectorConfig(batch_size=16)
+    state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(0))
+    step = make_detector_train_step(cfg, model, tx)
+
+    b, s, mb = cfg.batch_size, cfg.img_size, cfg.max_boxes
+    k = jax.random.PRNGKey(1)
+    ks = jax.random.split(k, 4)
+    images4 = jax.random.randint(ks[0], (b, 4, s, s, 3), 0, 255, jnp.uint8)
+    wh = jax.random.uniform(ks[1], (b, 4, mb, 2), minval=0.05, maxval=0.3)
+    cxy = jax.random.uniform(ks[2], (b, 4, mb, 2), minval=0.2, maxval=0.8)
+    boxes4 = jnp.concatenate([cxy, wh], axis=-1)
+    mask4 = jnp.arange(mb)[None, None, :] < 8
+    mask4 = jnp.broadcast_to(mask4, (b, 4, mb))
+    weights = jnp.ones(b, jnp.float32)
+    lr = jnp.float32(1e-3)
+
+    flops = compiled_flops(step, state, images4, boxes4, mask4, weights, lr)
+    state, metrics = step(state, images4, boxes4, mask4, weights, lr)
+    float(metrics["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, images4, boxes4, mask4, weights, lr)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    extras["detector_train_imgs_per_sec"] = round(n_steps * b / dt, 1)
+    extras["detector_train_vs_baseline"] = round(
+        n_steps * b / dt / BASELINE_DET_IMGS_PER_SEC, 2
+    )
+    if flops:
+        extras["detector_mfu"] = round(
+            flops / (dt / n_steps) / peak_flops_bf16(), 4
+        )
+        extras["detector_tflops_per_step"] = round(flops / 1e12, 3)
+
+    # batched TTA+NMS inference (the pseudo-labeling hot path)
+    predict = make_detector_predict(cfg, model, max_out=300, pre_nms_topk=700)
+    images = images4[:, 0]
+    out = predict(state.params, images, conf_thr=0.25, iou_thr=0.45, tta=True)
+    np.asarray(out[1][0])
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = predict(state.params, images, conf_thr=0.25, iou_thr=0.45, tta=True)
+    np.asarray(out[1][0])
+    dt = time.perf_counter() - t0
+    extras["detector_tta_infer_imgs_per_sec"] = round(n_steps * b / dt, 1)
+
+
+def main() -> None:
+    extras: dict = {}
+    imgs_per_sec, _ = bench_calibrator(extras)
+    try:
+        bench_detector(extras)
+    except Exception as e:  # detector bench is additive; never sink the line
+        extras["detector_bench_error"] = repr(e)[:200]
     print(
         json.dumps(
             {
@@ -96,6 +210,7 @@ def main() -> None:
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip (WGAN-GP G+D step, batch 128, n_critic 2)",
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 2),
+                **extras,
             }
         )
     )

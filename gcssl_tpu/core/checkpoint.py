@@ -40,9 +40,24 @@ class CheckpointManager:
         return data_path
 
     def restore(self, name: str, target: Any) -> Any:
-        """Restore into the structure of ``target`` (an initialized state)."""
+        """Restore into the structure of ``target`` (an initialized state).
+
+        Tolerant of structure drift across versions: stored keys missing
+        from the checkpoint keep the target's (freshly initialized) value,
+        and extra stored keys are ignored — so e.g. a round-1 checkpoint
+        without the round-2 ``g_ema`` field still loads."""
         data_path, _ = self._paths(name)
-        return serialization.from_bytes(target, data_path.read_bytes())
+        stored = serialization.msgpack_restore(data_path.read_bytes())
+        tgt_sd = serialization.to_state_dict(target)
+
+        def merge(t, s):
+            if isinstance(t, dict):
+                if not isinstance(s, dict):
+                    return t
+                return {k: merge(v, s[k]) if k in s else v for k, v in t.items()}
+            return s if s is not None else t
+
+        return serialization.from_state_dict(target, merge(tgt_sd, stored))
 
     def metadata(self, name: str) -> dict:
         _, meta_path = self._paths(name)

@@ -82,6 +82,18 @@ class CalibratorTrainConfig:
     # perceptual signal subordinate to geometry.
     lambda_adv: float = 0.1
     n_critic: int = 2
+    # Round-2 quality knobs (all off by default = round-1 behavior):
+    # EMA of G weights used for validation/best-checkpoint selection —
+    # settles the +-0.005 per-epoch delta-IoU oscillation onto its envelope
+    # without a separate low-LR fine-tune phase (0 = off).
+    g_ema_decay: float = 0.0
+    # Reweight each pair's EIoU term by 1 + c*(1 - IoU(pred, gt)): pairs
+    # with more correction headroom get proportionally more gradient
+    # (0 = off, uniform).
+    iou_reweight: float = 0.0
+    # Joint horizontal flip of (pred, other) patch pairs fed to the critic —
+    # cheap critic-side aug against memorizing the 18.5k training pairs.
+    critic_flip_aug: bool = False
     grad_clip_norm: float = 1.0
     # ReduceLROnPlateau(mode=max, factor, patience) on delta-IoU
     # (cgan_train_enhanced.py:260-261)

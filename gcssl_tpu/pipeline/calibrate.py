@@ -120,9 +120,12 @@ def load_calibrator_from_checkpoint(
     from gcssl_tpu.core.checkpoint import CheckpointManager
     from gcssl_tpu.core.config import CalibratorConfig
     from gcssl_tpu.train import create_train_state
+    from gcssl_tpu.train.wgan_gp import eval_g_params
 
     cfg = cfg or CalibratorConfig()
     state, g_model, _ = create_train_state(cfg, jax.random.PRNGKey(0))
     mgr = CheckpointManager(ckpt_dir)
     restored = mgr.restore(which, jax.device_get(state))
-    return Calibrator(g_model, restored.g_params, cfg.data.img_size, max_boxes)
+    return Calibrator(
+        g_model, eval_g_params(cfg, restored), cfg.data.img_size, max_boxes
+    )

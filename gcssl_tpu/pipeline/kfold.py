@@ -53,6 +53,7 @@ def kfold_pseudo_label(
     copy_images: bool = True,
     max_epochs: int | None = None,
     log_fn=None,
+    init_from: str | Path | None = None,
 ) -> Path:
     """Run all folds; returns the merged_pseudo directory."""
     train_images_dir = Path(train_images_dir)
@@ -71,6 +72,8 @@ def kfold_pseudo_label(
     ):
         fold_root = output_root / f"fold_{fold:02d}"
         pseudo_dir = fold_root / "pseudo_labels" / "pred" / "labels"
+        if (fold_root / "done.txt").exists():
+            continue  # crash-resume: this fold already trained + predicted
         pseudo_dir.mkdir(parents=True, exist_ok=True)
 
         train_list = [img_paths[i] for i in train_idx]
@@ -89,6 +92,7 @@ def kfold_pseudo_label(
         state, model, _ = train_detector(
             det_cfg, arrays, val_arrays,
             save_dir=fold_root / "train", log_fn=log_fn, max_epochs=max_epochs,
+            init_from=init_from,
         )
         predict_fn = make_detector_predict(det_cfg, model)
         predict_to_tree(
@@ -97,6 +101,7 @@ def kfold_pseudo_label(
             conf_thr=pl_cfg.kfold_conf, iou_thr=pl_cfg.kfold_iou_nms,
             image_list=infer_list, save_conf=True,
         )
+        (fold_root / "done.txt").write_text("ok\n")
 
     # merge folds
     merged = output_root / "merged_pseudo"

@@ -53,6 +53,14 @@ class CalibratorTrainState(struct.PyTreeNode):
     d_opt: Any
     rng: jax.Array
     step: jax.Array
+    g_ema: Any = None     # EMA of g_params (cfg.train.g_ema_decay > 0)
+
+
+def eval_g_params(cfg: CalibratorConfig, state: CalibratorTrainState):
+    """G parameters to use for validation/inference (EMA when enabled)."""
+    if cfg.train.g_ema_decay > 0 and state.g_ema is not None:
+        return state.g_ema
+    return state.g_params
 
 
 class DeviceData(struct.PyTreeNode):
@@ -128,6 +136,7 @@ def create_train_state(
         d_opt=tx.init(d_params),
         rng=rng,
         step=jnp.asarray(0, jnp.int32),
+        g_ema=jax.tree.map(jnp.copy, g_params),
     )
     return state, g_model, d_model
 
@@ -273,7 +282,7 @@ def make_train_step(cfg: CalibratorConfig, g_model, d_model):
 
         # ---- critic updates (n_critic, unrolled at trace time) ----
         for _ in range(tcfg.n_critic):
-            rng, drop_rng, alpha_rng = jax.random.split(rng, 3)
+            rng, drop_rng, alpha_rng, flip_rng = jax.random.split(rng, 4)
             # fake inputs: G in train mode (dropout active), detached
             delta_fake = jax.lax.stop_gradient(
                 gen_apply(state.g_params, pred_patch, drop_rng, train=True)
@@ -285,17 +294,28 @@ def make_train_step(cfg: CalibratorConfig, g_model, d_model):
                     smooth=tcfg.adversarial_gradient,
                 )
             )
+            if tcfg.critic_flip_aug:
+                # joint hflip of the whole (pred, gt, refined) triple per
+                # sample: the critic sees geometry-consistent pairs but
+                # can't memorize absolute pixel layouts
+                fl = jax.random.bernoulli(flip_rng, 0.5, (pred_patch.shape[0],))
+                fl = fl[:, None, None, None]
+                d_pred = jnp.where(fl, jnp.flip(pred_patch, axis=2), pred_patch)
+                d_gt = jnp.where(fl, jnp.flip(gt_patch, axis=2), gt_patch)
+                d_ref = jnp.where(fl, jnp.flip(refined, axis=2), refined)
+            else:
+                d_pred, d_gt, d_ref = pred_patch, gt_patch, refined
             alpha = jax.random.uniform(alpha_rng, (pred_patch.shape[0], 1, 1, 1))
 
             def d_loss_fn(params, stats):
-                real, stats = d_apply(params, stats, pred_patch, gt_patch, update_stats=True)
-                fake, stats = d_apply(params, stats, pred_patch, refined, update_stats=True)
+                real, stats = d_apply(params, stats, d_pred, d_gt, update_stats=True)
+                fake, stats = d_apply(params, stats, d_pred, d_ref, update_stats=True)
                 wd = wmean(real, weights) - wmean(fake, weights)
 
                 # gradient penalty (losses.py:185-232): joint grad norm over
                 # both interpolated inputs, target 1
-                ip = alpha * pred_patch + (1 - alpha) * pred_patch
-                io = alpha * gt_patch + (1 - alpha) * refined
+                ip = alpha * d_pred + (1 - alpha) * d_pred
+                io = alpha * d_gt + (1 - alpha) * d_ref
                 ip = jax.lax.stop_gradient(ip)
                 io = jax.lax.stop_gradient(io)
 
@@ -331,7 +351,14 @@ def make_train_step(cfg: CalibratorConfig, g_model, d_model):
             delta_pred = gen_apply(g_params, pred_patch, g_drop_rng, train=True)
             calibrated = delta_apply(pred_box, delta_pred, training=True)
             gt_boxes = delta_apply(pred_box, delta_true, training=True)
-            loss_iou = tcfg.lambda_iou * eiou_loss(calibrated, gt_boxes, weights)
+            g_w = weights
+            if tcfg.iou_reweight > 0:
+                # more gradient to pairs with more correction headroom
+                iou0 = iou_elementwise(pred_box, gt_boxes)
+                fac = 1.0 + tcfg.iou_reweight * (1.0 - iou0)
+                fac = fac / jnp.maximum(wmean(fac, weights), 1e-6)
+                g_w = weights * jax.lax.stop_gradient(fac)
+            loss_iou = tcfg.lambda_iou * eiou_loss(calibrated, gt_boxes, g_w)
 
             refined = _refined_patches(
                 canvases, canvas_wh, pred_box, delta_pred, pred_patch,
@@ -354,6 +381,16 @@ def make_train_step(cfg: CalibratorConfig, g_model, d_model):
             state.g_params, jax.tree.map(lambda u: -lr * u, g_updates)
         )
 
+        if tcfg.g_ema_decay > 0:
+            d_ema = tcfg.g_ema_decay
+            # decay warmup so early EMA isn't dominated by the random init
+            d_eff = jnp.minimum(d_ema, (1.0 + state.step) / (10.0 + state.step))
+            g_ema = jax.tree.map(
+                lambda e, p: e * d_eff + p * (1 - d_eff), state.g_ema, g_params
+            )
+        else:
+            g_ema = state.g_ema
+
         metrics.update(loss_G=g_loss, loss_iou=loss_iou, loss_wgan=loss_wgan)
         new_state = state.replace(
             g_params=g_params,
@@ -363,6 +400,7 @@ def make_train_step(cfg: CalibratorConfig, g_model, d_model):
             d_opt=d_opt,
             rng=rng,
             step=state.step + 1,
+            g_ema=g_ema,
         )
         return new_state, metrics
 
@@ -538,10 +576,11 @@ def train_calibrator(
         # epoch (a float() per batch would host-sync every dispatch — slow
         # through a thin host<->device link)
         val_accum = []
+        g_eval = eval_g_params(cfg, state)
         for idx, w in _batch_indices(len(val_idx), tcfg.batch_size, None):
             bidx = jax.device_put(jnp.asarray(val_idx[idx]), dsh)
             bw = jax.device_put(jnp.asarray(w), dsh)
-            val_accum.append(eval_fn(state.g_params, data, bidx, bw))
+            val_accum.append(eval_fn(g_eval, data, bidx, bw))
         vals = jax.device_get(val_accum)
         sb = float(sum(v[0] for v in vals))
         sa = float(sum(v[1] for v in vals))
@@ -557,7 +596,7 @@ def train_calibrator(
                 if len(train_idx) >= 4 else None
             )
             if sidx is not None:
-                p, r, g = jax.device_get(sample_fn(state.g_params, data, sidx))
+                p, r, g = jax.device_get(sample_fn(g_eval, data, sidx))
                 save_sample_grid(
                     Path(tcfg.save_dir) / "samples" / f"epoch_{epoch}.png", p, r, g
                 )
