@@ -46,10 +46,13 @@ def synthetic_classification_set(
     yy, xx = np.mgrid[0:img_size, 0:img_size] / img_size
 
     def render(cls, n):
+        # class -> unique (freq_x, freq_y, phase) triple; injective well past
+        # 100 classes (CIFAR-100 config) unlike the round-1 5x4 grid
         freq = 1 + cls % 5
-        phase = (cls // 5) * np.pi / 2
+        freq_y = 1 + (cls // 5) % 4
+        phase = (cls // 20) * 2 * np.pi / 7 + cls * 0.05
         base = np.sin(2 * np.pi * freq * xx + phase) * np.cos(
-            2 * np.pi * (freq % 3 + 1) * yy
+            2 * np.pi * freq_y * yy + 0.5 * phase
         )
         imgs = base[None, :, :, None] + 0.4 * rng.normal(
             0, 1, (n, img_size, img_size, channels)

@@ -79,9 +79,27 @@ def create_ssl_state(cfg: SSLClassifierConfig, rng: jax.Array):
     return state, g_model, d_model, tx
 
 
-def make_ssl_train_step(cfg: SSLClassifierConfig, g_model, d_model, tx):
+def make_ssl_train_step(cfg: SSLClassifierConfig, g_model, d_model, tx,
+                        resident: bool = False):
+    """One fused G+D step.
+
+    ``resident=False``: step(state, x_lab, y_lab, x_unlab, lr) on host-fed
+    batches.  ``resident=True``: step(state, x_lab_all, y_lab_all,
+    x_unlab_all, li, ui, lr) gathers batches by index from HBM-resident
+    arrays inside the compiled step — steady-state training then has zero
+    host->device traffic (decisive on remote-attached TPUs)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_resident(state, x_lab_all, y_lab_all, x_unlab_all, li, ui, lr):
+        return _step_body(
+            state, x_lab_all[li], y_lab_all[li], x_unlab_all[ui], lr
+        )
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: SSLTrainState, x_lab, y_lab, x_unlab, lr):
+        return _step_body(state, x_lab, y_lab, x_unlab, lr)
+
+    def _step_body(state: SSLTrainState, x_lab, y_lab, x_unlab, lr):
         rng, z1_rng, z2_rng, d1_rng, d2_rng, d3_rng, d4_rng = jax.random.split(
             state.rng, 7
         )
@@ -151,7 +169,7 @@ def make_ssl_train_step(cfg: SSLClassifierConfig, g_model, d_model, tx):
             "loss_sup": l_sup, "loss_unlab": l_unlab, "loss_fake": l_fake,
         }
 
-    return step
+    return step_resident if resident else step
 
 
 def make_classify_fn(cfg: SSLClassifierConfig, d_model):
@@ -181,24 +199,25 @@ def train_ssl_classifier(
     from gcssl_tpu.eval.calibration import expected_calibration_error
 
     state, g_model, d_model, tx = create_ssl_state(cfg, jax.random.PRNGKey(cfg.seed))
-    step_fn = make_ssl_train_step(cfg, g_model, d_model, tx)
+    step_fn = make_ssl_train_step(cfg, g_model, d_model, tx, resident=True)
     classify = make_classify_fn(cfg, d_model)
 
     rng = np.random.default_rng(cfg.seed)
     nl, nu = len(x_lab), len(x_unlab)
     bs = cfg.batch_size
+    # one-time upload; every step gathers its batches by index on device
+    x_lab_dev = jnp.asarray(x_lab)
+    y_lab_dev = jnp.asarray(y_lab, jnp.int32)
+    x_unlab_dev = jnp.asarray(x_unlab)
     steps_per_epoch = max(1, nu // bs)
     history = []
     for epoch in range(1, (max_epochs or cfg.epochs) + 1):
         accum = []
         for _ in range(steps_per_epoch):
-            li = rng.integers(0, nl, bs)
-            ui = rng.integers(0, nu, bs)
+            li = jnp.asarray(rng.integers(0, nl, bs), jnp.int32)
+            ui = jnp.asarray(rng.integers(0, nu, bs), jnp.int32)
             state, metrics = step_fn(
-                state,
-                jnp.asarray(x_lab[li]),
-                jnp.asarray(y_lab[li], jnp.int32),
-                jnp.asarray(x_unlab[ui]),
+                state, x_lab_dev, y_lab_dev, x_unlab_dev, li, ui,
                 jnp.float32(cfg.lr),
             )
             accum.append(metrics)
