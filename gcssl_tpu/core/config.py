@@ -113,6 +113,9 @@ class CalibratorTrainConfig:
     crop_edge_softness: float = 1.0
     sample_every_epochs: int = 10
     ckpt_every_epochs: int = 5  # periodic 'last' checkpoint for crash resume
+    # W&B-compatible run export (wandb/run-*/files tree, offline; mirrors
+    # the reference's cgan/config.yaml:38-44 wandb block)
+    wandb: bool = False
 
 
 @dataclass

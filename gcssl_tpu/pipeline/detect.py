@@ -54,31 +54,40 @@ def predict_arrays(
     iou_thr: float,
     tta: bool = False,
     batch_size: int = 16,
+    chunk_size: int = 2048,
 ):
     """Run batched prediction; returns per-image (boxes cxcywh letterboxed
     frame, scores) lists.
 
-    Images are device_put ONCE and batches gathered by index on device —
-    on links where host->device bandwidth is scarce, per-batch uploads
-    would dominate wall time."""
+    Images are device_put once per ``chunk_size`` slice and batches gathered
+    by index on device — on links where host->device bandwidth is scarce,
+    per-batch uploads would dominate wall time.  Chunking bounds HBM use so
+    reference-scale pools (11k images x 640px = 13.5 GB) fit: each chunk's
+    resident copy is dropped before the next uploads."""
     out_boxes, out_scores = [], []
     n = len(arrays)
-    images_dev = jnp.asarray(arrays.images) if n else None
-    # dispatch every batch first, fetch once: a device_get per batch would
-    # host-sync each dispatch and serialize the pipeline
-    pending = []
-    for idx, w in _batches(n, batch_size):
-        imgs = images_dev[jnp.asarray(idx)]
-        pending.append((predict_fn(params, imgs, conf_thr, iou_thr, tta), w))
-    for (boxes, scores, valid), w in [
-        (jax.device_get(p), w) for p, w in pending
-    ]:
-        for k in range(len(w)):
-            if w[k] == 0:
-                continue
-            v = valid[k]
-            out_boxes.append(boxes[k][v])
-            out_scores.append(scores[k][v])
+    for c0 in range(0, max(n, 1), chunk_size):
+        chunk = arrays.images[c0 : c0 + chunk_size]
+        m = len(chunk)
+        if m == 0:
+            break
+        images_dev = jnp.asarray(chunk)
+        # dispatch every batch first, fetch once: a device_get per batch
+        # would host-sync each dispatch and serialize the pipeline
+        pending = []
+        for idx, w in _batches(m, batch_size):
+            imgs = images_dev[jnp.asarray(idx)]
+            pending.append((predict_fn(params, imgs, conf_thr, iou_thr, tta), w))
+        for (boxes, scores, valid), w in [
+            (jax.device_get(p), w) for p, w in pending
+        ]:
+            for k in range(len(w)):
+                if w[k] == 0:
+                    continue
+                v = valid[k]
+                out_boxes.append(boxes[k][v])
+                out_scores.append(scores[k][v])
+        images_dev.delete()
     return out_boxes, out_scores
 
 

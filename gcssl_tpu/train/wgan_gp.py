@@ -528,6 +528,15 @@ def train_calibrator(
         initial_lr=tcfg.lr, factor=tcfg.plateau_factor,
         patience=tcfg.plateau_patience,
     )
+    wandb_run = None
+    if tcfg.wandb:
+        from dataclasses import asdict
+
+        from gcssl_tpu.obs.wandb_export import WandbExporter
+
+        wandb_run = WandbExporter(
+            tcfg.save_dir, project="gcssl-tpu-calibrator", config=asdict(cfg)
+        )
     bad_epochs = 0
     ckpt = CheckpointManager(Path(tcfg.save_dir))
     np_rng = np.random.default_rng(tcfg.seed)
@@ -612,6 +621,8 @@ def train_calibrator(
         history.append(record)
         if log_fn:
             log_fn(record)
+        if wandb_run is not None:
+            wandb_run.log(record)
 
         if not np.isfinite([stats["loss_G"], stats["loss_D"]]).all():
             break
@@ -642,6 +653,8 @@ def train_calibrator(
     out_root = Path(tcfg.save_dir)
     out_root.mkdir(parents=True, exist_ok=True)
     (out_root / "training_history.json").write_text(json.dumps(history, indent=2))
+    if wandb_run is not None:
+        wandb_run.finish({"best_delta_iou": best_delta_iou})
     ckpt.save(
         "last", jax.device_get(state),
         {"epoch": history[-1]["epoch"] if history else 0,
