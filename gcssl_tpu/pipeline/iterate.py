@@ -68,6 +68,8 @@ def retrain_on_merged(
     save_dir: str | Path,
     log_fn=None,
     max_epochs: int | None = None,
+    init_from: str | Path | None = None,
+    resume: bool = False,
 ):
     """Train a fresh detector on the merged set (the reference's 'retrain,
     loop' step)."""
@@ -76,4 +78,5 @@ def retrain_on_merged(
     return train_detector(
         cfg, train_arrays, val_arrays,
         save_dir=save_dir, log_fn=log_fn, max_epochs=max_epochs,
+        init_from=init_from, resume=resume,
     )
