@@ -1,0 +1,194 @@
+"""Round-2 full-scale SSL loop on the reference dataset (resume-safe).
+
+Usage: python scripts/run_loop_r2.py <work_dir> [key=value ...]
+
+Stages (each skipped when its artifact already exists):
+  1. PR sweep on val (TTA) -> pick conf_high = lowest threshold with
+     precision >= target_precision (default 0.85).
+  2. Two-stage pseudo-labeling over ALL unlabeled images (reference ran
+     11,031 — Two-stage pseudo-labeling.py:7-13).
+  3. Pseudo-label quality vs the held-back GT of the unlabeled pool.
+  4. Calibrate stage-2 labels with the WGAN calibrator; quality again.
+  5. Merge calibrated pseudo pairs + 500 labeled; retrain detector
+     (MAE-pretrained init); report val mAP50 delta vs the teacher.
+
+Mirrors /root/reference/datasets/500_100_100/two_stage tree layout.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DATA = Path("/root/reference/datasets/500_100_100")
+
+
+def say(msg, log=[None]):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    import jax
+
+    from gcssl_tpu.core.checkpoint import CheckpointManager
+    from gcssl_tpu.core.config import (
+        CalibratorConfig,
+        DetectorConfig,
+        PseudoLabelConfig,
+        apply_overrides,
+        load_config,
+    )
+    from gcssl_tpu.train.detector import (
+        create_detector_state,
+        eval_params,
+        make_detector_predict,
+    )
+
+    work = Path(sys.argv[1])
+    work.mkdir(parents=True, exist_ok=True)
+    o = {}
+    for kv in sys.argv[2:]:
+        k, v = kv.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        o[k] = v
+    weights_dir = o.pop("weights_dir", "runs/det_v2_mae")
+    calib_dir = o.pop("calib_dir", "runs/calib_r2")
+    calib_cfg_path = o.pop("calib_config", "configs/calibrator_r2.yaml")
+    init_from = o.pop("init_from", "runs/mae_11k_long/backbone.msgpack")
+    target_precision = float(o.pop("target_precision", 0.85))
+    retrain_epochs = int(o.pop("retrain_epochs", 300))
+    conf_low = float(o.pop("conf_low", 0.40))
+    det_cfg = apply_overrides(DetectorConfig(), o)
+
+    # ---- load teacher ----
+    state, model, _ = create_detector_state(det_cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(weights_dir)
+    which = "best" if mgr.exists("best") else "last"
+    state = mgr.restore(which, jax.device_get(state))
+    teacher_params = eval_params(det_cfg, state)
+    predict_fn = make_detector_predict(det_cfg, model, max_out=300, pre_nms_topk=700)
+    teacher_map50 = mgr.metadata(which).get("map50")
+    say(f"teacher: {weights_dir}/{which} map50={teacher_map50}")
+
+    # ---- 1. PR sweep -> conf_high ----
+    sweep_path = work / "pr_sweep.json"
+    if not sweep_path.exists():
+        import subprocess
+
+        say("running PR sweep on val...")
+        rc = subprocess.run(
+            [sys.executable, "scripts/pr_sweep.py", weights_dir, str(sweep_path)]
+        ).returncode
+        if rc != 0:
+            raise RuntimeError("pr_sweep failed")
+    sweep = json.loads(sweep_path.read_text())
+    eligible = [s for s in sweep if s["precision"] >= target_precision]
+    conf_high = min((s["conf"] for s in eligible), default=0.85)
+    say(f"conf_high={conf_high} (target precision {target_precision}); sweep: "
+        + ", ".join(f"{s['conf']}:P{s['precision']:.2f}/R{s['recall']:.2f}"
+                    for s in sweep))
+
+    # ---- 2. two-stage over the full pool ----
+    two_dir = work / "two_stage"
+    counts_path = work / "two_stage_counts.json"
+    if not counts_path.exists():
+        from gcssl_tpu.pipeline.two_stage import two_stage_pseudo_label
+
+        pl_cfg = PseudoLabelConfig(conf_high=conf_high, conf_low=conf_low)
+        say(f"two-stage over {DATA/'unlabels'} (full pool)...")
+        t0 = time.time()
+        counts = two_stage_pseudo_label(
+            det_cfg, pl_cfg, predict_fn, teacher_params,
+            DATA / "unlabels" / "images", two_dir,
+        )
+        counts["wall_s"] = round(time.time() - t0, 1)
+        counts["conf_high"] = conf_high
+        counts_path.write_text(json.dumps(counts, indent=1))
+    counts = json.loads(counts_path.read_text())
+    say(f"two-stage counts: {counts}")
+
+    # ---- 3. pseudo quality vs held-back GT ----
+    qual_path = work / "pseudo_quality.json"
+    if not qual_path.exists():
+        from gcssl_tpu.eval.pseudo_vs_gt import evaluate_pseudo_labels
+
+        rep = evaluate_pseudo_labels(
+            two_dir / "stage2" / "high" / "labels", DATA / "unlabels" / "labels"
+        )
+        qual_path.write_text(json.dumps({
+            "precision": rep.precision, "recall": rep.recall, "f1": rep.f1,
+            "tp": rep.tp, "fp": rep.fp, "fn": rep.fn,
+            "total_imgs": rep.total_imgs,
+        }, indent=1))
+    say(f"pseudo quality: {qual_path.read_text()}")
+
+    # ---- 4. calibrate ----
+    calib_labels = work / "calibrated" / "labels"
+    calq_path = work / "calibrated_quality.json"
+    if not calq_path.exists():
+        from gcssl_tpu.pipeline.calibrate import (
+            calibrate_tree,
+            load_calibrator_from_checkpoint,
+        )
+        from gcssl_tpu.eval.pseudo_vs_gt import evaluate_pseudo_labels
+
+        ccfg = load_config(calib_cfg_path) if Path(calib_cfg_path).exists() else CalibratorConfig()
+        cal = load_calibrator_from_checkpoint(calib_dir, cfg=ccfg, max_boxes=128)
+        say(f"calibrating stage-2 labels with {calib_dir}...")
+        n = calibrate_tree(
+            cal, two_dir / "stage2" / "high" / "images",
+            two_dir / "stage2" / "high" / "labels", calib_labels,
+        )
+        rep = evaluate_pseudo_labels(calib_labels, DATA / "unlabels" / "labels")
+        calq_path.write_text(json.dumps({
+            "calibrated_files": n,
+            "precision": rep.precision, "recall": rep.recall, "f1": rep.f1,
+            "tp": rep.tp, "fp": rep.fp, "fn": rep.fn,
+        }, indent=1))
+    say(f"calibrated quality: {calq_path.read_text()}")
+
+    # ---- 5. merge + retrain ----
+    merged_dir = work / "merged"
+    retrain_dir = work / "retrain"
+    result_path = work / "loop_result.json"
+    if not result_path.exists():
+        from gcssl_tpu.pipeline.iterate import merge_labeled_and_pseudo, retrain_on_merged
+
+        n_merged = merge_labeled_and_pseudo(
+            DATA / "train", two_dir / "stage2" / "high" / "images",
+            calib_labels, merged_dir,
+        )
+        say(f"merged {n_merged} images; retraining ({retrain_epochs} ep)...")
+        hist_rec = []
+
+        def log_fn(rec):
+            hist_rec.append(rec)
+            if rec["epoch"] % 10 == 0:
+                say(f"retrain ep {rec['epoch']} map50 {rec.get('map50', -1):.4f}")
+
+        rcfg = apply_overrides(det_cfg, {
+            "epochs": retrain_epochs, "patience": 50,
+            "close_mosaic_epochs": 25,
+        })
+        state2, _, hist = retrain_on_merged(
+            rcfg, merged_dir, DATA / "val", retrain_dir,
+            log_fn=log_fn, init_from=init_from, resume=True,
+        )
+        best = max(hist, key=lambda r: r.get("map50", -1))
+        result_path.write_text(json.dumps({
+            "teacher_map50": teacher_map50,
+            "retrained_best_map50": best.get("map50"),
+            "retrained_best_epoch": best.get("epoch"),
+            "merged_images": n_merged,
+            "conf_high": conf_high,
+        }, indent=1))
+    say(f"LOOP RESULT: {result_path.read_text()}")
+
+
+if __name__ == "__main__":
+    main()
