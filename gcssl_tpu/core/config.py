@@ -111,6 +111,11 @@ class CalibratorTrainConfig:
     adversarial_gradient: bool = True
     # Sigmoid edge blend width (source px) for training-time crops; 0 = hard.
     crop_edge_softness: float = 1.0
+    # Pallas fused uint8-crop+normalize producer for the four forward-only
+    # patch crops per step (pred, gt, critic-loop refined); the G-step
+    # refined crop keeps the differentiable pure-JAX path.  bf16 MXU
+    # sampling, <1e-2 deviation from the f32 path.  Ignored off-TPU.
+    fast_crop: bool = False
     sample_every_epochs: int = 10
     ckpt_every_epochs: int = 5  # periodic 'last' checkpoint for crash resume
     # W&B-compatible run export (wandb/run-*/files tree, offline; mirrors

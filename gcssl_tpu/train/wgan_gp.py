@@ -189,6 +189,7 @@ def _refined_patches(
     img_size: int,
     edge_softness: float,
     smooth: bool,
+    fast: bool = False,
 ) -> jax.Array:
     """Differentiable twin of ``get_refined_patch_batch``
     (/root/reference/cgan/cgan_train_enhanced.py:37-137).
@@ -220,7 +221,15 @@ def _refined_patches(
     valid = (x2 - x1 >= 10.0) & (y2 - y1 >= 10.0)
 
     boxes = jnp.stack([cx, cy, w, h], axis=-1)
-    patches = _canvas_crop(canvases, canvas_wh, boxes, img_size, edge_softness)
+    if fast:
+        # forward-only Pallas producer (callers must be under stop_gradient)
+        from gcssl_tpu.kernels.crop import fused_canvas_crop
+
+        patches = fused_canvas_crop(
+            canvases, canvas_wh, boxes, img_size, edge_softness
+        )
+    else:
+        patches = _canvas_crop(canvases, canvas_wh, boxes, img_size, edge_softness)
     return jnp.where(valid[:, None, None, None], patches, pred_patch)
 
 
@@ -259,6 +268,11 @@ def make_train_step(cfg: CalibratorConfig, g_model, d_model):
         return g_model.apply({"params": params}, x)
 
     device_patches = cfg.data.device_patches
+    fast_crop = bool(getattr(tcfg, "fast_crop", False))
+    if fast_crop:
+        from gcssl_tpu.kernels.crop import fast_crop_available, fused_canvas_crop
+
+        fast_crop = fast_crop_available()
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: CalibratorTrainState, data: DeviceData, idx, weights, lr):
@@ -267,7 +281,13 @@ def make_train_step(cfg: CalibratorConfig, g_model, d_model):
         ci = data.canvas_idx[idx]
         canvases = data.canvases[ci]
         canvas_wh = data.canvas_wh[ci]
-        if device_patches:
+        if device_patches and fast_crop:
+            # forward-only producers: pred/gt crops depend on data only
+            pred_patch = fused_canvas_crop(canvases, canvas_wh, pred_box, img_size)
+            gt_patch = fused_canvas_crop(
+                canvases, canvas_wh, data.gt_box[idx], img_size
+            )
+        elif device_patches:
             pred_patch = _canvas_crop(canvases, canvas_wh, pred_box, img_size)
             gt_patch = _canvas_crop(canvases, canvas_wh, data.gt_box[idx], img_size)
         else:
@@ -292,6 +312,7 @@ def make_train_step(cfg: CalibratorConfig, g_model, d_model):
                     canvases, canvas_wh, pred_box, delta_fake, pred_patch,
                     img_size, tcfg.crop_edge_softness,
                     smooth=tcfg.adversarial_gradient,
+                    fast=fast_crop,
                 )
             )
             if tcfg.critic_flip_aug:

@@ -50,3 +50,76 @@ class TestFusedInstanceNorm:
         got = fused_instance_norm_act(x, 0.2)
         want = _reference_impl(x, 0.2, 1e-5)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+class TestFusedCanvasCrop:
+    def _inputs(self, b=2, c=96):
+        rng = np.random.default_rng(7)
+        canv = rng.integers(0, 256, (b, c, c, 3), dtype=np.uint8)
+        wh = rng.integers(60, 400, (b, 2)).astype(np.float32)
+        boxes = np.stack(
+            [rng.uniform(0.25, 0.75, b), rng.uniform(0.25, 0.75, b),
+             rng.uniform(0.08, 0.5, b), rng.uniform(0.08, 0.5, b)], -1
+        ).astype(np.float32)
+        return jnp.asarray(canv), jnp.asarray(wh), jnp.asarray(boxes)
+
+    @pytest.mark.parametrize("softness", [0.0, 1.0])
+    def test_matches_pure_jax_crop(self, softness):
+        from gcssl_tpu.kernels.crop import fused_canvas_crop
+        from gcssl_tpu.train.wgan_gp import _canvas_crop
+
+        canv, wh, boxes = self._inputs()
+        want = _canvas_crop(canv, wh, boxes, 32, edge_softness=softness)
+        got = fused_canvas_crop(
+            canv, wh, boxes, 32, edge_softness=softness, interpret=True
+        )
+        # bf16 MXU sampling: keep within one 8-bit quantization step
+        # (1/127.5) of the f32 reference path
+        err = np.abs(np.asarray(want) - np.asarray(got))
+        assert err.max() < 1.0 / 127.5, err.max()
+
+    def test_degenerate_box_is_gray(self):
+        from gcssl_tpu.kernels.crop import fused_canvas_crop
+        from gcssl_tpu.ops.patches import GRAY_FILL_NORM
+
+        canv, wh, boxes = self._inputs()
+        # box entirely inside the letterbox pad of a very wide image: the
+        # clipped crop rect collapses -> whole patch is gray fill
+        wh = jnp.asarray([[400.0, 60.0]] * 2, jnp.float32)
+        boxes = jnp.asarray([[0.5, -2.0, 0.05, 0.05]] * 2, jnp.float32)
+        got = fused_canvas_crop(canv, wh, boxes, 32, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), GRAY_FILL_NORM, atol=2e-2
+        )
+
+    def test_refined_patches_fast_path(self):
+        import jax
+
+        from gcssl_tpu.train.wgan_gp import _refined_patches
+
+        canv, wh, boxes = self._inputs()
+        deltas = jnp.asarray(
+            np.random.default_rng(9).normal(0, 0.05, (2, 4)), jnp.float32
+        )
+        fallback = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        slow = _refined_patches(
+            canv, wh, boxes, deltas, fallback, 32, 1.0, smooth=True
+        )
+        # interpret-mode pallas is routed through the same flag the train
+        # step uses on TPU
+        import gcssl_tpu.kernels.crop as kc
+
+        orig = kc._crop_batch_cm
+
+        def patched(params, cv, out_size, softness, fill, interpret):
+            return orig(params, cv, out_size, softness, fill, True)
+
+        kc._crop_batch_cm = patched
+        try:
+            fast = _refined_patches(
+                canv, wh, boxes, deltas, fallback, 32, 1.0, smooth=True,
+                fast=True,
+            )
+        finally:
+            kc._crop_batch_cm = orig
+        assert np.abs(np.asarray(slow) - np.asarray(fast)).max() < 1.0 / 127.5
