@@ -90,6 +90,8 @@ def _add_train_calibrator(sub):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--cache-dir", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="restore full train state from save-dir/'last'")
 
 
 def _add_calibrate(sub):
@@ -277,7 +279,7 @@ def main(argv=None) -> int:
             skip_patches=cfg.data.device_patches,
         )
         logger = MetricsLogger(args.save_dir)
-        train_calibrator(cfg, arrays, log_fn=logger.log)
+        train_calibrator(cfg, arrays, log_fn=logger.log, resume=args.resume)
 
     elif args.cmd == "calibrate":
         from gcssl_tpu.pipeline.calibrate import (
