@@ -114,8 +114,10 @@ class CalibratorTrainConfig:
     # Pallas fused uint8-crop+normalize producer for the four forward-only
     # patch crops per step (pred, gt, critic-loop refined); the G-step
     # refined crop keeps the differentiable pure-JAX path.  bf16 MXU
-    # sampling, <1e-2 deviation from the f32 path.  Ignored off-TPU.
-    fast_crop: bool = False
+    # sampling, <1e-2 deviation from the f32 path (3-epoch delta-IoU
+    # trajectories agree to 3e-5); +17% step throughput measured on v5e
+    # (scripts/ab_fast_crop.py).  Ignored off-TPU.
+    fast_crop: bool = True
     sample_every_epochs: int = 10
     ckpt_every_epochs: int = 5  # periodic 'last' checkpoint for crash resume
     # W&B-compatible run export (wandb/run-*/files tree, offline; mirrors

@@ -41,69 +41,81 @@ from gcssl_tpu.ops.patches import GRAY_FILL_NORM
 _EPS_GUARD = 1000.0 * float(np.finfo(np.float32).eps)
 
 
-def _weight_mat(origin, side, out_size: int, in_size: int):
-    """(out, in) Keys-cubic antialias weights + per-row source centers.
+def _weight_mat(origin, side, out_size: int, in_size: int, transposed: bool):
+    """Keys-cubic antialias resampling weights + per-output source centers.
 
     Exact port of jax._src.image.scale.compute_weight_mat for
     scale = out/side, translation = -origin * scale (the crop transform of
     ops/patches.crop_letterbox), built from broadcasted iotas so it lowers
-    inside a Pallas kernel.
+    inside a Pallas kernel.  ``transposed=False`` emits (out, in) with
+    centers (out, 1); ``transposed=True`` emits (in, out) with centers
+    (1, out) — built directly in that orientation because Mosaic cannot
+    legalize an in-kernel transpose.
     """
     inv_scale = side / out_size
     kernel_scale = jnp.maximum(inv_scale, 1.0)
-    o = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 0)
-    i = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 1)
+    shape = (in_size, out_size) if transposed else (out_size, in_size)
+    out_dim, in_dim = (1, 0) if transposed else (0, 1)
+    # TPU iota must be integer; widen to f32 after
+    o = jax.lax.broadcasted_iota(jnp.int32, shape, out_dim).astype(jnp.float32)
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, in_dim).astype(jnp.float32)
     sample_f = (o + 0.5) * inv_scale + origin - 0.5
     x = jnp.abs(sample_f - i) / kernel_scale
     w = ((1.5 * x - 2.5) * x) * x + 1.0
     w = jnp.where(x >= 1.0, ((-0.5 * x + 2.5) * x - 4.0) * x + 2.0, w)
     w = jnp.where(x >= 2.0, 0.0, w)
-    tot = jnp.sum(w, axis=1, keepdims=True)
+    tot = jnp.sum(w, axis=in_dim, keepdims=True)
     w = jnp.where(
         jnp.abs(tot) > _EPS_GUARD, w / jnp.where(tot != 0.0, tot, 1.0), 0.0
     )
     valid = (sample_f >= -0.5) & (sample_f <= in_size - 0.5)
     w = jnp.where(valid, w, 0.0)
-    # source-pixel centers of each output row: sample_f + 0.5 (constant
-    # along the input axis; keep the first column)
-    centers = sample_f[:, :1] + 0.5
+    # source-pixel centers of each output position: sample_f + 0.5
+    # (constant along the input axis; keep one input row/column)
+    centers = (sample_f[:1, :] if transposed else sample_f[:, :1]) + 0.5
     return w, centers
 
 
 def _crop_kernel(p_ref, cv_ref, o_ref, *, out_size: int, in_size: int,
                  softness: float, fill: float):
-    sx = p_ref[0, 0]
-    sy = p_ref[0, 1]
-    side = p_ref[0, 2]
-    x1 = p_ref[0, 3]
-    x2 = p_ref[0, 4]
-    y1 = p_ref[0, 5]
-    y2 = p_ref[0, 6]
+    from jax.experimental import pallas as pl
 
-    wy, src_y = _weight_mat(sy, side, out_size, in_size)  # rows: out y
-    wx, src_x = _weight_mat(sx, side, out_size, in_size)  # rows: out x
+    i = pl.program_id(0)
+    sx = p_ref[i, 0]
+    sy = p_ref[i, 1]
+    side = p_ref[i, 2]
+    x1 = p_ref[i, 3]
+    x2 = p_ref[i, 4]
+    y1 = p_ref[i, 5]
+    y2 = p_ref[i, 6]
+
+    # wy: (S, C) out-major; wxT: (C, S) in-major; src_y (S, 1), src_x (1, S)
+    wy, src_y = _weight_mat(sy, side, out_size, in_size, transposed=False)
+    wxT, src_x = _weight_mat(sx, side, out_size, in_size, transposed=True)
 
     if softness > 0.0:
         t = softness
         row_w = jax.nn.sigmoid((src_y - y1) / t) * jax.nn.sigmoid((y2 - src_y) / t)
         col_w = jax.nn.sigmoid((src_x - x1) / t) * jax.nn.sigmoid((x2 - src_x) / t)
-        mask = row_w * col_w.T  # (S, 1) * (1, S) -> (S, S)
+        mask = row_w * col_w  # (S, 1) * (1, S) -> (S, S)
     else:
         row_in = (src_y >= y1) & (src_y <= y2)
         col_in = (src_x >= x1) & (src_x <= x2)
-        mask = (row_in & col_in.T).astype(jnp.float32)
+        mask = (row_in & col_in).astype(jnp.float32)
 
     wy16 = wy.astype(jnp.bfloat16)
-    wx16 = wx.astype(jnp.bfloat16)
+    wx16 = wxT.astype(jnp.bfloat16)
     for ch in range(3):
-        # u8 - 128 is integer in [-128, 127]: exact in bf16
-        plane = (cv_ref[0, ch].astype(jnp.float32) - 128.0).astype(jnp.bfloat16)
+        # u8 - 128 is integer in [-128, 127]: exact in bf16.  (Mosaic has no
+        # direct u8->f32 cast; widen through int32 first.)
+        plane = cv_ref[0, ch].astype(jnp.int32).astype(jnp.float32)
+        plane = (plane - 128.0).astype(jnp.bfloat16)
         t1 = jax.lax.dot_general(
             wy16, plane, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (S out_y, C in_x)
         t2 = jax.lax.dot_general(
-            t1.astype(jnp.bfloat16), wx16, (((1,), (1,)), ((), ())),
+            t1.astype(jnp.bfloat16), wx16, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (S out_y, S out_x)
         patch = t2 * (1.0 / 127.5) + fill  # == sample(normalize(u8) - fill) + fill
@@ -128,7 +140,8 @@ def _crop_batch_cm(params, canvases_cm, out_size, softness, fill, interpret):
         out_shape=jax.ShapeDtypeStruct((b, 3, out_size, out_size), jnp.float32),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 7), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            # whole (B, 7) scalar table in SMEM; kernel indexes by program_id
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, c, c), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 3, out_size, out_size), lambda i: (i, 0, 0, 0)),

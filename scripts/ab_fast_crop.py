@@ -34,12 +34,15 @@ def bench(fast: bool, arrays, steps: int) -> float:
     w = jnp.ones((b,), jnp.float32)
     lr = jnp.asarray(cfg.train.lr, jnp.float32)
 
+    # NOTE: on the axon-tunneled TPU block_until_ready returns before remote
+    # execution completes — a scalar fetch is the only reliable fence
+    # (same methodology as bench.py).
     state, m = step(state, data, idx, w, lr)  # compile
-    jax.block_until_ready(m)
+    float(m["loss_G"])
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = step(state, data, (idx + i * b) % n, w, lr)
-    jax.block_until_ready(m)
+    float(m["loss_G"])  # chained through every step's donated state
     dt = (time.perf_counter() - t0) / steps
     del state
     return b / dt
