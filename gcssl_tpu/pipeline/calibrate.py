@@ -124,6 +124,11 @@ def load_calibrator_from_checkpoint(
 
     cfg = cfg or CalibratorConfig()
     state, g_model, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    from gcssl_tpu.core.release import is_release_file, load_release
+
+    if is_release_file(ckpt_dir):
+        g_params, _ = load_release(ckpt_dir)
+        return Calibrator(g_model, g_params, cfg.data.img_size, max_boxes)
     mgr = CheckpointManager(ckpt_dir)
     restored = mgr.restore(which, jax.device_get(state))
     return Calibrator(

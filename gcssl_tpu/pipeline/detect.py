@@ -122,7 +122,12 @@ def train_detector(
     if init_from:
         from flax import serialization
 
-        raw = serialization.msgpack_restore(Path(init_from).read_bytes())
+        blob = Path(init_from).read_bytes()
+        if blob[:2] == b"\x1f\x8b":  # gzipped release file (core/release.py)
+            import gzip
+
+            blob = gzip.decompress(blob)
+        raw = serialization.msgpack_restore(blob)
         src = raw.get("params", raw)
 
         def graft(dst, sub):

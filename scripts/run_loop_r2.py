@@ -65,15 +65,21 @@ def main():
     conf_low = float(o.pop("conf_low", 0.40))
     det_cfg = apply_overrides(DetectorConfig(), o)
 
-    # ---- load teacher ----
+    # ---- load teacher (train-state ckpt dir or params-only release file) ----
+    from gcssl_tpu.core.release import is_release_file, load_release
+
     state, model, _ = create_detector_state(det_cfg, jax.random.PRNGKey(0))
-    mgr = CheckpointManager(weights_dir)
-    which = "best" if mgr.exists("best") else "last"
-    state = mgr.restore(which, jax.device_get(state))
-    teacher_params = eval_params(det_cfg, state)
+    if is_release_file(weights_dir):
+        teacher_params, meta = load_release(weights_dir)
+        teacher_map50 = meta.get("map50")
+    else:
+        mgr = CheckpointManager(weights_dir)
+        which = "best" if mgr.exists("best") else "last"
+        state = mgr.restore(which, jax.device_get(state))
+        teacher_params = eval_params(det_cfg, state)
+        teacher_map50 = mgr.metadata(which).get("map50")
     predict_fn = make_detector_predict(det_cfg, model, max_out=300, pre_nms_topk=700)
-    teacher_map50 = mgr.metadata(which).get("map50")
-    say(f"teacher: {weights_dir}/{which} map50={teacher_map50}")
+    say(f"teacher: {weights_dir} map50={teacher_map50}")
 
     # ---- 1. PR sweep -> conf_high ----
     sweep_path = work / "pr_sweep.json"

@@ -107,3 +107,54 @@ class TestCheckpoint:
         assert int(restored["step"]) == 7
         assert mgr.metadata("best")["delta_iou"] == 0.01
         assert mgr.exists("best") and not mgr.exists("last")
+
+
+class TestReleaseWeights:
+    def test_save_load_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from gcssl_tpu.core.release import (
+            is_release_file,
+            load_release,
+            save_release,
+        )
+
+        params = {"backbone": {"w": np.arange(12, dtype=np.float32).reshape(3, 4)},
+                  "head": {"b": np.zeros(5, np.float32)}}
+        out = tmp_path / "model.msgpack.gz"
+        save_release(params, out, {"map50": 0.5, "kind": "detector"})
+        assert is_release_file(out)
+        got, meta = load_release(out)
+        assert meta["map50"] == 0.5
+        np.testing.assert_array_equal(got["backbone"]["w"], params["backbone"]["w"])
+
+    def test_detector_init_from_release(self, tmp_path):
+        """train_detector's init_from grafts params out of a .gz release."""
+        import jax
+        import numpy as np
+
+        from gcssl_tpu.core.config import DetectorConfig, apply_overrides
+        from gcssl_tpu.core.release import save_release
+        from gcssl_tpu.train.detector import create_detector_state
+
+        cfg = apply_overrides(
+            DetectorConfig(),
+            {"img_size": 64, "width_mult": 0.25, "max_boxes": 4},
+        )
+        state, _, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        params = jax.device_get(state.params)
+        # perturb one leaf so the graft is observable
+        leaf_path = next(iter(params))
+        out = tmp_path / "det.msgpack.gz"
+        save_release(params, out, {"kind": "detector"})
+
+        from pathlib import Path
+
+        import gzip
+
+        from flax import serialization
+
+        blob = Path(out).read_bytes()
+        assert blob[:2] == b"\x1f\x8b"
+        raw = serialization.msgpack_restore(gzip.decompress(blob))
+        assert "params" in raw and leaf_path in raw["params"]
