@@ -61,6 +61,10 @@ def main():
     calib_cfg_path = o.pop("calib_config", "configs/calibrator_r2.yaml")
     init_from = o.pop("init_from", "runs/mae_11k_long/backbone.msgpack")
     target_precision = float(o.pop("target_precision", 0.85))
+    forced_conf_high = o.pop("conf_high", None)
+    if forced_conf_high is not None:
+        forced_conf_high = float(forced_conf_high)
+    labels_src = o.pop("labels_src", "calibrated")
     retrain_epochs = int(o.pop("retrain_epochs", 300))
     conf_low = float(o.pop("conf_low", 0.40))
     det_cfg = apply_overrides(DetectorConfig(), o)
@@ -93,8 +97,19 @@ def main():
         if rc != 0:
             raise RuntimeError("pr_sweep failed")
     sweep = json.loads(sweep_path.read_text())
-    eligible = [s for s in sweep if s["precision"] >= target_precision]
-    conf_high = min((s["conf"] for s in eligible), default=0.85)
+    if forced_conf_high is not None:
+        conf_high = forced_conf_high
+    else:
+        eligible = [s for s in sweep if s["precision"] >= target_precision]
+        if eligible:
+            conf_high = min(s["conf"] for s in eligible)
+        else:
+            # no threshold reaches the target: take the highest-precision
+            # point that still fires on a non-trivial number of boxes
+            # (a threshold past the model's confidence ceiling selects
+            # nothing and the loop degenerates)
+            live = [s for s in sweep if s["tp"] + s["fp"] >= 20]
+            conf_high = max(live, key=lambda s: s["precision"])["conf"]
     say(f"conf_high={conf_high} (target precision {target_precision}); sweep: "
         + ", ".join(f"{s['conf']}:P{s['precision']:.2f}/R{s['recall']:.2f}"
                     for s in sweep))
@@ -165,9 +180,21 @@ def main():
     if not result_path.exists():
         from gcssl_tpu.pipeline.iterate import merge_labeled_and_pseudo, retrain_on_merged
 
+        # labels_src="raw" trains on the uncalibrated stage-2 labels.
+        # Measured this round: the calibrator trained on the REFERENCE
+        # teacher's error distribution does not transfer to our v2
+        # detector's predictions (mean matched IoU 0.592 raw vs 0.550
+        # calibrated on the 2,025-image pool) — the reference's own
+        # pipeline is self-consistent (its CGAN pairs come from its own
+        # detector's k-fold predictions), so a transferable calibrator
+        # must be retrained on our k-fold pairs.
+        retrain_labels = (
+            two_dir / "stage2" / "high" / "labels"
+            if labels_src == "raw" else calib_labels
+        )
         n_merged = merge_labeled_and_pseudo(
             DATA / "train", two_dir / "stage2" / "high" / "images",
-            calib_labels, merged_dir,
+            retrain_labels, merged_dir,
         )
         say(f"merged {n_merged} images; retraining ({retrain_epochs} ep)...")
         hist_rec = []
