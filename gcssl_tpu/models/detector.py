@@ -23,6 +23,16 @@ from flax import linen as nn
 STRIDES = (8, 16, 32)
 
 
+def _num_groups(features: int, cap: int = 32) -> int:
+    """Largest divisor of ``features`` that is <= cap (GroupNorm needs
+    groups | channels; non-power-of-two widths like 48 at width_mult 0.75
+    are not divisible by a fixed 32)."""
+    for g in range(min(cap, features), 0, -1):
+        if features % g == 0:
+            return g
+    return 1
+
+
 class ConvBlock(nn.Module):
     features: int
     kernel: int = 3
@@ -40,7 +50,7 @@ class ConvBlock(nn.Module):
             use_bias=False,
             dtype=self.dtype,
         )(x)
-        x = nn.GroupNorm(num_groups=min(32, self.features), dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=_num_groups(self.features), dtype=self.dtype)(x)
         return nn.silu(x)
 
 
