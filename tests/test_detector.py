@@ -365,3 +365,21 @@ class TestMosaicV2:
         np.testing.assert_allclose(
             np.asarray(cb)[0, :, 0], [4.0, 12.0, 20.0]
         )
+
+
+class TestNonPow2Width:
+    def test_num_groups_divides(self):
+        from gcssl_tpu.models.detector import _num_groups
+
+        for f in (3, 24, 32, 48, 96, 192, 384, 512):
+            g = _num_groups(f)
+            assert f % g == 0 and 1 <= g <= 32
+
+    def test_m_scale_width_builds(self):
+        # width_mult 0.75 yields 48-channel stems (not divisible by 32);
+        # GroupNorm groups must adapt (largest divisor <= 32).
+        cfg = small_cfg(width_mult=0.75, depth_mult=0.67)
+        model = Detector(1, cfg.width_mult, cfg.depth_mult, jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        outs = model.apply(params, jnp.zeros((2, 128, 128, 3)))
+        assert len(outs) == 3
