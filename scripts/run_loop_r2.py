@@ -91,8 +91,12 @@ def main():
         import subprocess
 
         say("running PR sweep on val...")
+        # forward detector-arch overrides so non-default widths restore
+        fwd = [f"{k}={json.dumps(v)}" if not isinstance(v, str) else f"{k}={v}"
+               for k, v in o.items()]
         rc = subprocess.run(
             [sys.executable, "scripts/pr_sweep.py", weights_dir, str(sweep_path)]
+            + fwd
         ).returncode
         if rc != 0:
             raise RuntimeError("pr_sweep failed")
