@@ -51,8 +51,12 @@ def is_release_file(path: str | Path) -> bool:
 
 
 def export_detector(ckpt_dir: str | Path, out_path: str | Path, cfg=None,
-                    which: str = "best") -> Path:
-    """Export a detector train-state checkpoint's eval (EMA) params."""
+                    which: str = "best", extra_meta: dict | None = None) -> Path:
+    """Export a detector train-state checkpoint's eval (EMA) params.
+
+    ``extra_meta`` records e.g. width_mult/depth_mult so consumers know
+    which architecture the params belong to (restore still requires the
+    matching DetectorConfig overrides)."""
     import jax.numpy as jnp  # noqa: F401  (state init touches the backend)
 
     from gcssl_tpu.core.checkpoint import CheckpointManager
@@ -65,6 +69,7 @@ def export_detector(ckpt_dir: str | Path, out_path: str | Path, cfg=None,
     state = mgr.restore(which, jax.device_get(state))
     meta = dict(mgr.metadata(which))
     meta["kind"] = "detector"
+    meta.update(extra_meta or {})
     return save_release(eval_params(cfg, state), out_path, meta)
 
 
