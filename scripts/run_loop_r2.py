@@ -65,6 +65,10 @@ def main():
     if forced_conf_high is not None:
         forced_conf_high = float(forced_conf_high)
     labels_src = o.pop("labels_src", "calibrated")
+    # calibration transfer to stage-2 labels measured neutral-to-negative
+    # (REPORT_r2.md), so when retraining on raw labels the calibrate pass
+    # is diagnostic only and skipped by default; force with calibrate=1.
+    do_calibrate = bool(o.pop("calibrate", labels_src != "raw"))
     retrain_epochs = int(o.pop("retrain_epochs", 300))
     conf_low = float(o.pop("conf_low", 0.40))
     det_cfg = apply_overrides(DetectorConfig(), o)
@@ -155,6 +159,8 @@ def main():
     # ---- 4. calibrate ----
     calib_labels = work / "calibrated" / "labels"
     calq_path = work / "calibrated_quality.json"
+    if not do_calibrate and not calq_path.exists():
+        calq_path.write_text(json.dumps({"skipped": "labels_src=raw"}))
     if not calq_path.exists():
         from gcssl_tpu.pipeline.calibrate import (
             calibrate_tree,
