@@ -43,7 +43,9 @@ class Calibrator:
 
     def __init__(self, g_model, g_params, img_size: int = 128, max_boxes: int = 64):
         self.g_model = g_model
-        self.g_params = g_params
+        # pin on device once: a restored (numpy) tree passed per call would
+        # re-upload G's params for every image of a calibration sweep
+        self.g_params = jax.device_put(g_params)
         self.img_size = img_size
         self.max_boxes = max_boxes
         self._fn = _make_calibrate_fn(g_model, img_size, max_boxes)

@@ -64,6 +64,13 @@ def predict_arrays(
     per-batch uploads would dominate wall time.  Chunking bounds HBM use so
     reference-scale pools (11k images x 640px = 13.5 GB) fit: each chunk's
     resident copy is dropped before the next uploads."""
+    # Pin params on device ONCE.  Checkpoint restore returns a numpy tree;
+    # passing that straight in re-uploads every param on every batch — at
+    # reference scale (11k images / 690 batches) that is ~100 GB of host
+    # staging for an m-scale detector, and the relay client never returns
+    # those buffers (measured: ~param-size RSS growth per execution,
+    # scripts/mem_probe_predict.py), which OOM'd the two-stage pass.
+    params = jax.device_put(params)
     out_boxes, out_scores = [], []
     n = len(arrays)
     for c0 in range(0, max(n, 1), chunk_size):

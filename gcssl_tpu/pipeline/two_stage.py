@@ -105,6 +105,7 @@ def two_stage_pseudo_label(
 
     # ---- stage 2: low-confidence completion pass on kept images ----
     kept_paths = [paths[i] for i in kept_idx]
+    del arrays, boxes1  # 11k x 640px uint8 = 13.5 GB; free before stage-2 load
     sub = load_detection_tree(
         source_dir, det_cfg.img_size, det_cfg.max_boxes,
         labels_dir="/nonexistent", image_list=kept_paths,

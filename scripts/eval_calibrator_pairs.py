@@ -45,7 +45,7 @@ def main():
     mgr = CheckpointManager(ckpt_dir)
     which = "best" if mgr.exists("best") else "last"
     state = mgr.restore(which, jax.device_get(state))
-    g_params = eval_g_params(cfg, state)
+    g_params = jax.device_put(eval_g_params(cfg, state))
     s = cfg.data.img_size
 
     canvases = jax.device_put(arrays.canvases)
