@@ -13,6 +13,7 @@ shared config tree:
     python -m gcssl_tpu calibrate --weights-dir ... --image ... --pred-txt ... --out-txt ...
     python -m gcssl_tpu compare --pseudo ... --gt ...
     python -m gcssl_tpu paired-patches --root ... --out ...
+    python -m gcssl_tpu pretrain --images ... --save-dir ...
     python -m gcssl_tpu train-ssl --dataset synthetic ...
 """
 
@@ -33,6 +34,13 @@ def _add_split(sub):
     p.add_argument("--names", nargs="*", default=None)
 
 
+def _add_arch(p):
+    """Detector architecture scale flags (s-scale default; the round-2 best
+    run is width 0.75 / depth 0.67 — an 'm'-scale)."""
+    p.add_argument("--width-mult", type=float, default=0.5)
+    p.add_argument("--depth-mult", type=float, default=0.33)
+
+
 def _add_train_detector(sub):
     p = sub.add_parser("train-detector", help="train the single-class detector")
     p.add_argument("--train-dir", required=True)
@@ -43,7 +51,12 @@ def _add_train_detector(sub):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--patience", type=int, default=20)
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--width-mult", type=float, default=0.5)
+    p.add_argument("--init-from", default=None,
+                   help="msgpack checkpoint to graft matching subtrees from "
+                        "(e.g. a pretrained backbone.msgpack)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore full train state from save-dir/'last'")
+    _add_arch(p)
 
 
 def _add_predict(sub):
@@ -55,7 +68,7 @@ def _add_predict(sub):
     p.add_argument("--iou", type=float, default=0.45)
     p.add_argument("--tta", action="store_true")
     p.add_argument("--img-size", type=int, default=640)
-    p.add_argument("--width-mult", type=float, default=0.5)
+    _add_arch(p)
 
 
 def _add_two_stage(sub):
@@ -67,7 +80,7 @@ def _add_two_stage(sub):
     p.add_argument("--conf-low", type=float, default=0.40)
     p.add_argument("--overlap-thr", type=float, default=0.35)
     p.add_argument("--img-size", type=int, default=640)
-    p.add_argument("--width-mult", type=float, default=0.5)
+    _add_arch(p)
 
 
 def _add_kfold(sub):
@@ -78,7 +91,7 @@ def _add_kfold(sub):
     p.add_argument("--kfolds", type=int, default=5)
     p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--img-size", type=int, default=640)
-    p.add_argument("--width-mult", type=float, default=0.5)
+    _add_arch(p)
 
 
 def _add_train_calibrator(sub):
@@ -125,7 +138,7 @@ def _add_eval_detector(sub):
     p.add_argument("--weights-dir", required=True)
     p.add_argument("--data-dir", required=True)
     p.add_argument("--img-size", type=int, default=640)
-    p.add_argument("--width-mult", type=float, default=0.5)
+    _add_arch(p)
 
 
 def _add_iterate(sub):
@@ -140,7 +153,29 @@ def _add_iterate(sub):
     p.add_argument("--save-dir", required=True)
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--epochs", type=int, default=400)
-    p.add_argument("--width-mult", type=float, default=0.5)
+    p.add_argument("--init-from", default=None,
+                   help="msgpack checkpoint to graft matching subtrees from")
+    _add_arch(p)
+
+
+def _add_pretrain(sub):
+    p = sub.add_parser(
+        "pretrain",
+        help="masked-reconstruction backbone pretraining on unlabeled images",
+    )
+    p.add_argument("--images", required=True, help="dir of unlabeled images")
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--view-size", type=int, default=224,
+                   help="random-crop view fed to the model")
+    p.add_argument("--pack-size", type=int, default=256,
+                   help="stored letterbox edge (> view-size for crop room)")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--mask-ratio", type=float, default=0.5)
+    p.add_argument("--cache", default=None,
+                   help=".npz path caching the decoded image pack")
+    _add_arch(p)
 
 
 def _add_train_ssl(sub):
@@ -160,7 +195,8 @@ def build_parser() -> argparse.ArgumentParser:
     for add in (
         _add_split, _add_train_detector, _add_predict, _add_two_stage,
         _add_kfold, _add_train_calibrator, _add_calibrate, _add_compare,
-        _add_paired_patches, _add_eval_detector, _add_iterate, _add_train_ssl,
+        _add_paired_patches, _add_eval_detector, _add_iterate, _add_pretrain,
+        _add_train_ssl,
     ):
         add(sub)
     return parser
@@ -170,27 +206,37 @@ def _detector_cfg(args):
     from gcssl_tpu.core.config import DetectorConfig
 
     kw = {}
-    for name in ("img_size", "epochs", "batch_size", "patience", "lr", "width_mult"):
+    for name in ("img_size", "epochs", "batch_size", "patience", "lr",
+                 "width_mult", "depth_mult"):
         if hasattr(args, name):
             kw[name] = getattr(args, name)
     return DetectorConfig(**kw)
 
 
 def _load_detector(args):
+    """Returns (cfg, eval params, predict_fn).  ``--weights-dir`` accepts a
+    train-state checkpoint dir or a params-only release file
+    (weights/*.msgpack.gz, core/release.py)."""
     import jax
 
     from gcssl_tpu.core.checkpoint import CheckpointManager
+    from gcssl_tpu.core.release import is_release_file, load_release
     from gcssl_tpu.train.detector import (
         create_detector_state,
+        eval_params,
         make_detector_predict,
     )
 
     cfg = _detector_cfg(args)
     state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
-    mgr = CheckpointManager(args.weights_dir)
-    which = "best" if mgr.exists("best") else "last"
-    state = mgr.restore(which, jax.device_get(state))
-    return cfg, state, make_detector_predict(cfg, model)
+    if is_release_file(args.weights_dir):
+        params, _ = load_release(args.weights_dir)
+    else:
+        mgr = CheckpointManager(args.weights_dir)
+        which = "best" if mgr.exists("best") else "last"
+        state = mgr.restore(which, jax.device_get(state))
+        params = eval_params(cfg, state)
+    return cfg, jax.device_put(params), make_detector_predict(cfg, model)
 
 
 def main(argv=None) -> int:
@@ -216,16 +262,18 @@ def main(argv=None) -> int:
             if args.val_dir else None
         )
         logger = MetricsLogger(args.save_dir)
-        train_detector(cfg, train, val, save_dir=args.save_dir, log_fn=logger.log)
+        train_detector(
+            cfg, train, val, save_dir=args.save_dir, log_fn=logger.log,
+            init_from=args.init_from, resume=args.resume,
+        )
         logger.finalize("results.json")
 
     elif args.cmd == "predict":
         from gcssl_tpu.pipeline.detect import predict_to_tree
-        from gcssl_tpu.train.detector import eval_params
 
-        cfg, state, predict_fn = _load_detector(args)
+        cfg, params, predict_fn = _load_detector(args)
         n = predict_to_tree(
-            cfg, predict_fn, eval_params(cfg, state), args.images, args.out_labels,
+            cfg, predict_fn, params, args.images, args.out_labels,
             args.conf, args.iou, args.tta,
         )
         print(json.dumps({"boxes_written": n}))
@@ -233,15 +281,14 @@ def main(argv=None) -> int:
     elif args.cmd == "two-stage":
         from gcssl_tpu.core.config import PseudoLabelConfig
         from gcssl_tpu.pipeline.two_stage import two_stage_pseudo_label
-        from gcssl_tpu.train.detector import eval_params
 
-        cfg, state, predict_fn = _load_detector(args)
+        cfg, params, predict_fn = _load_detector(args)
         pl_cfg = PseudoLabelConfig(
             conf_high=args.conf_high, conf_low=args.conf_low,
             overlap_thr=args.overlap_thr,
         )
         counts = two_stage_pseudo_label(
-            cfg, pl_cfg, predict_fn, eval_params(cfg, state), args.source, args.dest
+            cfg, pl_cfg, predict_fn, params, args.source, args.dest
         )
         print(json.dumps(counts))
 
@@ -310,11 +357,10 @@ def main(argv=None) -> int:
     elif args.cmd == "eval-detector":
         from gcssl_tpu.data.detection import load_detection_tree
         from gcssl_tpu.pipeline.detect import evaluate_on
-        from gcssl_tpu.train.detector import eval_params
 
-        cfg, state, predict_fn = _load_detector(args)
+        cfg, params, predict_fn = _load_detector(args)
         arrays = load_detection_tree(args.data_dir, cfg.img_size, cfg.max_boxes)
-        m = evaluate_on(predict_fn, eval_params(cfg, state), arrays)
+        m = evaluate_on(predict_fn, params, arrays)
         print(json.dumps({
             "map50": m.map50, "map50_95": m.map50_95,
             "precision": m.precision, "recall": m.recall,
@@ -334,9 +380,26 @@ def main(argv=None) -> int:
         )
         logger = MetricsLogger(args.save_dir)
         retrain_on_merged(
-            cfg, args.merged_dir, args.val_dir, args.save_dir, log_fn=logger.log
+            cfg, args.merged_dir, args.val_dir, args.save_dir, log_fn=logger.log,
+            init_from=args.init_from,
         )
         print(json.dumps({"merged_images": n}))
+
+    elif args.cmd == "pretrain":
+        from gcssl_tpu.data.detection import load_image_pack
+        from gcssl_tpu.obs.history import MetricsLogger
+        from gcssl_tpu.train.pretrain import pretrain_backbone
+
+        cfg = _detector_cfg(args)
+        images = load_image_pack(args.images, args.pack_size, cache=args.cache)
+        logger = MetricsLogger(args.save_dir)
+        pretrain_backbone(
+            cfg, images, epochs=args.epochs, img_size=args.view_size,
+            batch_size=args.batch_size, lr=args.lr, mask_ratio=args.mask_ratio,
+            log_fn=logger.log, save_dir=args.save_dir,
+        )
+        logger.finalize("results.json")
+        print(json.dumps({"images": len(images), "epochs": args.epochs}))
 
     elif args.cmd == "train-ssl":
         import numpy as np

@@ -141,3 +141,56 @@ def load_detection_tree(
         images=images, boxes=boxes, cls=cls, mask=mask,
         orig_wh=orig_wh, names=names, img_size=img_size,
     )
+
+
+def load_image_pack(
+    image_dir: str | Path,
+    size: int,
+    cache: str | Path | None = None,
+    fill: int = 114,
+) -> np.ndarray:
+    """Label-free resident pack: every image in ``image_dir`` letterboxed to
+    ``size``² uint8.  Feeds backbone self-pretraining (train/pretrain.py)
+    over the unlabeled pool — the stand-in for the reference's COCO-
+    pretrained init (/root/reference/train.py:11), which has no offline
+    equivalent.  Decoding the 11k-image pool takes minutes, so pass
+    ``cache`` (an .npz path) to persist the pack across runs."""
+    from PIL import Image
+
+    cache = Path(cache) if cache else None
+    if cache is not None and cache.exists():
+        return np.load(cache)["images"]
+
+    image_dir = Path(image_dir)
+    paths = list_images(image_dir)
+    images = np.zeros((len(paths), size, size, 3), np.uint8)
+    done = np.zeros(len(paths), bool)
+
+    jpg_idx = [i for i, p in enumerate(paths)
+               if p.suffix.lower() in (".jpg", ".jpeg")]
+    if jpg_idx:
+        from gcssl_tpu.data.native_loader import decode_letterbox_batch
+
+        res = decode_letterbox_batch([paths[i] for i in jpg_idx], size, fill)
+        if res is not None:
+            imgs_n, wh_n = res
+            for k, i in enumerate(jpg_idx):
+                if wh_n[k, 0] > 0:
+                    images[i] = imgs_n[k]
+                    done[i] = True
+
+    for i in np.nonzero(~done)[0]:
+        img = Image.open(paths[i]).convert("RGB")
+        w, h = img.size
+        s = size / max(w, h)
+        img = img.resize(
+            (max(1, round(w * s)), max(1, round(h * s))), Image.BILINEAR
+        )
+        canvas = Image.new("RGB", (size, size), (fill,) * 3)
+        canvas.paste(img, ((size - img.size[0]) // 2, (size - img.size[1]) // 2))
+        images[i] = np.asarray(canvas)
+
+    if cache is not None:
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(cache, images=images)
+    return images

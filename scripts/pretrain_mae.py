@@ -27,34 +27,11 @@ PACK = 256  # stored pack edge; random-cropped to the view size on device
 
 
 def build_pack(image_dir: Path, cache: Path) -> np.ndarray:
-    if cache.exists():
-        return np.load(cache, mmap_mode=None)["images"]
-    paths = sorted(image_dir.glob("*.jpg")) + sorted(image_dir.glob("*.png"))
+    from gcssl_tpu.data.detection import load_image_pack
+
     t0 = time.time()
-    from gcssl_tpu.data.native_loader import decode_letterbox_batch
-
-    res = decode_letterbox_batch(paths, PACK, fill=114)
-    if res is not None:
-        images, wh = res
-        bad = np.nonzero(wh[:, 0] == 0)[0]
-    else:
-        images = np.zeros((len(paths), PACK, PACK, 3), np.uint8)
-        bad = np.arange(len(paths))
-    if len(bad):
-        from PIL import Image
-
-        for i in bad:
-            im = Image.open(paths[i]).convert("RGB")
-            w, h = im.size
-            s = PACK / max(w, h)
-            im = im.resize((max(1, round(w * s)), max(1, round(h * s))),
-                           Image.BILINEAR)
-            canvas = Image.new("RGB", (PACK, PACK), (114, 114, 114))
-            canvas.paste(im, ((PACK - im.size[0]) // 2, (PACK - im.size[1]) // 2))
-            images[i] = np.asarray(canvas)
-    print(f"pack built: {images.shape} in {time.time()-t0:.0f}s", flush=True)
-    cache.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(cache, images=images)
+    images = load_image_pack(image_dir, PACK, cache=cache)
+    print(f"pack ready: {images.shape} in {time.time()-t0:.0f}s", flush=True)
     return images
 
 

@@ -25,12 +25,25 @@ class TestParser:
             ["iterate", "--labeled-dir", "l", "--pseudo-images", "i",
              "--pseudo-labels", "p", "--merged-dir", "m", "--val-dir", "v",
              "--save-dir", "s"],
+            ["pretrain", "--images", "i", "--save-dir", "s"],
             ["train-ssl"],
         ],
     )
     def test_all_subcommands_parse(self, argv):
         args = build_parser().parse_args(argv)
         assert args.cmd == argv[0]
+
+    def test_detector_arch_flags_reach_config(self):
+        from gcssl_tpu.cli import _detector_cfg
+
+        args = build_parser().parse_args(
+            ["train-detector", "--train-dir", "a", "--save-dir", "b",
+             "--width-mult", "0.75", "--depth-mult", "0.67",
+             "--init-from", "bb.msgpack"]
+        )
+        cfg = _detector_cfg(args)
+        assert (cfg.width_mult, cfg.depth_mult) == (0.75, 0.67)
+        assert args.init_from == "bb.msgpack"
 
     def test_missing_required_flag_errors(self, capsys):
         with pytest.raises(SystemExit):
@@ -60,6 +73,29 @@ class TestHostCommands:
                    "--gt", str(tmp_path / "g")])
         assert rc == 0
         assert "Precision 1.000" in capsys.readouterr().out
+
+    def test_pretrain_main(self, tmp_path, capsys):
+        """End-to-end `pretrain` on a tiny synthetic pool (CPU-fast)."""
+        from PIL import Image
+
+        img_dir = tmp_path / "pool"
+        img_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(8):
+            arr = rng.integers(0, 255, (40, 56, 3), np.uint8)
+            Image.fromarray(arr).save(img_dir / f"u{i}.png")
+        rc = main([
+            "pretrain", "--images", str(img_dir),
+            "--save-dir", str(tmp_path / "out"),
+            "--epochs", "1", "--view-size", "64", "--pack-size", "80",
+            "--batch-size", "4", "--width-mult", "0.25",
+            "--cache", str(tmp_path / "pack.npz"),
+        ])
+        assert rc == 0
+        assert (tmp_path / "out" / "backbone.msgpack").exists()
+        assert (tmp_path / "pack.npz").exists()
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out == {"images": 8, "epochs": 1}
 
     def test_paired_patches_main(self, tmp_path, capsys):
         from tests.test_data_calibrator import make_synthetic_root
