@@ -223,10 +223,20 @@ def main():
             log_fn=log_fn, init_from=init_from, resume=True,
         )
         best = max(hist, key=lambda r: r.get("map50", -1))
+        best_map50 = best.get("map50")
+        best_epoch = best.get("epoch")
+        # after a crash-resume, `hist` only covers post-resume epochs; the
+        # checkpoint metadata carries the true best across the whole run
+        ckpt_best = retrain_dir / "best.json"
+        if ckpt_best.exists():
+            meta = json.loads(ckpt_best.read_text())
+            if best_map50 is None or meta.get("map50", -1) >= best_map50:
+                best_map50 = meta.get("map50")
+                best_epoch = meta.get("epoch")
         result_path.write_text(json.dumps({
             "teacher_map50": teacher_map50,
-            "retrained_best_map50": best.get("map50"),
-            "retrained_best_epoch": best.get("epoch"),
+            "retrained_best_map50": best_map50,
+            "retrained_best_epoch": best_epoch,
             "merged_images": n_merged,
             "conf_high": conf_high,
         }, indent=1))
