@@ -1,0 +1,143 @@
+"""Stall-watchdog supervisor for long hardware runs.
+
+The reference has no failure handling at all (SURVEY.md §5: an interrupted
+Ultralytics or CGAN run restarts from zero). This framework's trainers are
+all crash-resumable (checkpoint `last` + `--resume` / artifact-gated
+pipeline stages), which reduces fault recovery to a supervision problem:
+detect that a run has stopped making progress and restart it.
+
+The failure mode this targets is real and observed: a dropped TPU-tunnel
+connection leaves the training process blocked forever inside a device
+call — no exception, no exit, heartbeat files stop updating. A supervisor
+process is the only reliable recovery (the blocked call cannot be
+interrupted from inside the process).
+
+Progress is measured by the newest mtime under ``watch_paths`` (checkpoint
+dirs, log files). If nothing advances for ``stall_timeout_s``, the child is
+killed (SIGTERM, then SIGKILL) and relaunched — the run's own resume logic
+takes it from the last checkpoint.
+
+Usage::
+
+    from gcssl_tpu.utils.watchdog import supervise
+    rc = supervise(
+        [sys.executable, "scripts/run_loop_r2.py", "runs/loop_m", ...],
+        watch_paths=["runs/loop_m"],
+        stall_timeout_s=1800,
+    )
+
+or as a CLI::
+
+    python -m gcssl_tpu.utils.watchdog --watch runs/loop_m \
+        --stall-minutes 30 -- python scripts/run_loop_r2.py runs/loop_m ...
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+
+def newest_mtime(paths: list[str | Path]) -> float:
+    """Most recent mtime of any file under the given files/dirs (0 if none)."""
+    newest = 0.0
+    for p in paths:
+        p = Path(p)
+        if p.is_file():
+            newest = max(newest, p.stat().st_mtime)
+        elif p.is_dir():
+            for f in p.rglob("*"):
+                try:
+                    if f.is_file():
+                        newest = max(newest, f.stat().st_mtime)
+                except OSError:
+                    continue
+    return newest
+
+
+def _terminate(proc: subprocess.Popen, grace_s: float = 15.0) -> None:
+    """SIGTERM the child's process group, escalate to SIGKILL."""
+    try:
+        os.killpg(proc.pid, signal.SIGTERM)
+    except (ProcessLookupError, PermissionError):
+        return
+    deadline = time.time() + grace_s
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            return
+        time.sleep(0.5)
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        pass
+    proc.wait()
+
+
+def supervise(
+    cmd: list[str],
+    watch_paths: list[str | Path],
+    stall_timeout_s: float = 1800.0,
+    max_restarts: int = 10,
+    poll_s: float = 30.0,
+    restart_backoff_s: float = 60.0,
+    log_fn=print,
+) -> int:
+    """Run ``cmd``; kill + relaunch it whenever ``watch_paths`` stop
+    advancing for ``stall_timeout_s``.  Returns the child's exit code once
+    it terminates on its own (stall kills don't count as termination), or
+    -1 if ``max_restarts`` is exhausted.
+
+    ``cmd`` must be idempotent-resumable: artifact-gated stages and/or
+    checkpoint resume (every trainer in this framework is)."""
+    restarts = 0
+    while True:
+        t_start = time.time()
+        proc = subprocess.Popen(cmd, start_new_session=True)
+        log_fn(f"[watchdog] launched pid {proc.pid}: {' '.join(map(str, cmd))}")
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                log_fn(f"[watchdog] child exited rc={rc}")
+                return rc
+            last_progress = max(newest_mtime(watch_paths), t_start)
+            idle = time.time() - last_progress
+            if idle > stall_timeout_s:
+                log_fn(f"[watchdog] STALL: no progress for {idle:.0f}s "
+                       f"(> {stall_timeout_s:.0f}s); restarting")
+                _terminate(proc)
+                break
+            time.sleep(poll_s)
+        restarts += 1
+        if restarts > max_restarts:
+            log_fn(f"[watchdog] giving up after {max_restarts} restarts")
+            return -1
+        time.sleep(restart_backoff_s)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="gcssl_tpu.utils.watchdog",
+        description="restart a resumable run when its artifacts stop advancing",
+    )
+    ap.add_argument("--watch", action="append", required=True,
+                    help="file/dir whose mtimes indicate progress (repeatable)")
+    ap.add_argument("--stall-minutes", type=float, default=30.0)
+    ap.add_argument("--max-restarts", type=int, default=10)
+    ap.add_argument("cmd", nargs=argparse.REMAINDER,
+                    help="-- command to supervise")
+    args = ap.parse_args(argv)
+    cmd = args.cmd[1:] if args.cmd[:1] == ["--"] else args.cmd
+    if not cmd:
+        ap.error("no command given (pass it after --)")
+    return supervise(cmd, args.watch, stall_timeout_s=args.stall_minutes * 60,
+                     max_restarts=args.max_restarts)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
