@@ -67,6 +67,8 @@ def _add_predict(sub):
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.45)
     p.add_argument("--tta", action="store_true")
+    p.add_argument("--fuse", action="store_true",
+                   help="WBF-style box fusion in NMS (pays with --tta)")
     p.add_argument("--img-size", type=int, default=640)
     _add_arch(p)
 
@@ -79,6 +81,8 @@ def _add_two_stage(sub):
     p.add_argument("--conf-high", type=float, default=0.85)
     p.add_argument("--conf-low", type=float, default=0.40)
     p.add_argument("--overlap-thr", type=float, default=0.35)
+    p.add_argument("--fuse", action="store_true",
+                   help="WBF-style box fusion in NMS")
     p.add_argument("--img-size", type=int, default=640)
     _add_arch(p)
 
@@ -274,7 +278,7 @@ def main(argv=None) -> int:
         cfg, params, predict_fn = _load_detector(args)
         n = predict_to_tree(
             cfg, predict_fn, params, args.images, args.out_labels,
-            args.conf, args.iou, args.tta,
+            args.conf, args.iou, args.tta, fuse=args.fuse,
         )
         print(json.dumps({"boxes_written": n}))
 
@@ -285,7 +289,7 @@ def main(argv=None) -> int:
         cfg, params, predict_fn = _load_detector(args)
         pl_cfg = PseudoLabelConfig(
             conf_high=args.conf_high, conf_low=args.conf_low,
-            overlap_thr=args.overlap_thr,
+            overlap_thr=args.overlap_thr, fuse=args.fuse,
         )
         counts = two_stage_pseudo_label(
             cfg, pl_cfg, predict_fn, params, args.source, args.dest

@@ -138,6 +138,7 @@ class PseudoLabelConfig:
     kfold_conf: float = 0.1
     kfold_iou_nms: float = 0.9
     tta: bool = True
+    fuse: bool = False  # WBF-style box fusion in NMS (ops/nms.py:nms_fused)
     class_filter: list[int] | None = None
     # route images whose final set contains only low-conf boxes into
     # stage2/only_low as well (Two-stage pseudo-labeling.py:12,104-108)

@@ -22,7 +22,7 @@ from gcssl_tpu.ops.matching import (
     match_greedy_many_to_one,
     match_greedy_one_to_one,
 )
-from gcssl_tpu.ops.nms import nms
+from gcssl_tpu.ops.nms import nms, nms_fused
 from gcssl_tpu.ops.patches import (
     crop_letterbox,
     crop_letterbox_batch,
@@ -45,6 +45,7 @@ __all__ = [
     "match_greedy_many_to_one",
     "match_greedy_one_to_one",
     "nms",
+    "nms_fused",
     "crop_letterbox",
     "crop_letterbox_batch",
     "letterbox_image",

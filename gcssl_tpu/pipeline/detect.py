@@ -55,6 +55,7 @@ def predict_arrays(
     tta: bool = False,
     batch_size: int = 16,
     chunk_size: int = 2048,
+    fuse: bool = False,
 ):
     """Run batched prediction; returns per-image (boxes cxcywh letterboxed
     frame, scores) lists.
@@ -84,7 +85,7 @@ def predict_arrays(
         pending = []
         for idx, w in _batches(m, batch_size):
             imgs = images_dev[jnp.asarray(idx)]
-            pending.append((predict_fn(params, imgs, conf_thr, iou_thr, tta), w))
+            pending.append((predict_fn(params, imgs, conf_thr, iou_thr, tta, fuse), w))
         for (boxes, scores, valid), w in [
             (jax.device_get(p), w) for p, w in pending
         ]:
@@ -99,9 +100,10 @@ def predict_arrays(
 
 
 def evaluate_on(predict_fn, params, arrays: DetectionArrays,
-                conf_thr: float = 0.001, iou_thr: float = 0.7) -> DetMetrics:
+                conf_thr: float = 0.001, iou_thr: float = 0.7,
+                tta: bool = False, fuse: bool = False) -> DetMetrics:
     pred_boxes, pred_scores = predict_arrays(
-        predict_fn, params, arrays, conf_thr, iou_thr
+        predict_fn, params, arrays, conf_thr, iou_thr, tta=tta, fuse=fuse
     )
     gts = [arrays.boxes[i][arrays.mask[i]] for i in range(len(arrays))]
     return evaluate_detections(pred_boxes, pred_scores, gts)
@@ -264,6 +266,7 @@ def predict_to_tree(
     tta: bool = False,
     image_list=None,
     save_conf: bool = True,
+    fuse: bool = False,
 ) -> int:
     """Predict a directory (or list) of images and write YOLO txt files in
     the ORIGINAL image frame (inverse letterbox), with confidences —
@@ -273,7 +276,7 @@ def predict_to_tree(
         labels_dir="/nonexistent", image_list=image_list,
     )
     pred_boxes, pred_scores = predict_arrays(
-        predict_fn, params, arrays, conf_thr, iou_thr, tta
+        predict_fn, params, arrays, conf_thr, iou_thr, tta, fuse=fuse
     )
     out_labels_dir = Path(out_labels_dir)
     total = 0

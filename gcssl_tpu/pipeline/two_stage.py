@@ -84,7 +84,7 @@ def two_stage_pseudo_label(
     boxes1, scores1 = predict_arrays(
         predict_fn, params, arrays,
         conf_thr=pl_cfg.conf_high, iou_thr=pl_cfg.iou_nms,
-        tta=pl_cfg.tta, batch_size=batch_size,
+        tta=pl_cfg.tta, fuse=pl_cfg.fuse, batch_size=batch_size,
     )
     kept_names: list[str] = []
     kept_idx: list[int] = []
@@ -113,7 +113,7 @@ def two_stage_pseudo_label(
     boxes2, scores2 = predict_arrays(
         predict_fn, params, sub,
         conf_thr=pl_cfg.conf_low, iou_thr=pl_cfg.iou_nms,
-        tta=pl_cfg.tta, batch_size=batch_size,
+        tta=pl_cfg.tta, fuse=pl_cfg.fuse, batch_size=batch_size,
     )
     n_stage2 = 0
     for k, p in enumerate(kept_paths):

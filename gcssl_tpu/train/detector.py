@@ -483,12 +483,15 @@ def make_detector_predict(
     grid is ~8.4k cells at 640px and a full pairwise IoU there would be a
     B x 8400^2 tensor (36 GB at batch 16); top-k first keeps it at
     B x 300^2."""
-    from gcssl_tpu.ops.nms import nms
+    from gcssl_tpu.ops.nms import nms, nms_fused
 
     max_out = max_out or cfg.max_boxes
 
-    @functools.partial(jax.jit, static_argnames=("conf_thr", "iou_thr", "tta"))
-    def predict(params, images_u8, conf_thr: float, iou_thr: float, tta: bool = False):
+    @functools.partial(
+        jax.jit, static_argnames=("conf_thr", "iou_thr", "tta", "fuse")
+    )
+    def predict(params, images_u8, conf_thr: float, iou_thr: float,
+                tta: bool = False, fuse: bool = False):
         images = images_u8.astype(jnp.float32) / 255.0
         outs = model.apply({"params": params}, images)
         scores, boxes = decode_all(outs, cfg.img_size)
@@ -506,9 +509,15 @@ def make_detector_predict(
         top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
         valid = top_conf >= conf_thr
 
-        def per_image(bx, sc, vl):
-            keep, kv = nms(bx, sc, iou_thr, max_out, valid_mask=vl)
-            return bx[keep], sc[keep], kv
+        if fuse:
+            # WBF-style cluster-averaged coordinates (ops/nms.py): pays with
+            # TTA, where each object has near-duplicate per-view candidates
+            def per_image(bx, sc, vl):
+                return nms_fused(bx, sc, iou_thr, max_out, valid_mask=vl)
+        else:
+            def per_image(bx, sc, vl):
+                keep, kv = nms(bx, sc, iou_thr, max_out, valid_mask=vl)
+                return bx[keep], sc[keep], kv
 
         return jax.vmap(per_image)(top_boxes, top_conf, valid)
 

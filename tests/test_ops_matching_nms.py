@@ -139,3 +139,71 @@ class TestNMS:
             torch.tensor(xyxy), torch.tensor(scores), 0.4
         ).numpy()
         np.testing.assert_array_equal(ours, want)
+
+
+class TestNmsFused:
+    """WBF-style fusion: same survivors as nms, cluster-averaged coords."""
+
+    def test_same_survivors_and_scores_as_nms(self):
+        from gcssl_tpu.ops import nms_fused
+
+        rng = np.random.default_rng(3)
+        n = 30
+        boxes = np.column_stack(
+            [rng.uniform(0.2, 0.8, (n, 2)), rng.uniform(0.05, 0.4, (n, 2))]
+        ).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        keep, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.4, max_out=n)
+        fb, fs, fv = nms_fused(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.4, max_out=n
+        )
+        keep, valid = np.asarray(keep), np.asarray(valid)
+        fb, fs, fv = np.asarray(fb), np.asarray(fs), np.asarray(fv)
+        np.testing.assert_array_equal(valid, fv)
+        np.testing.assert_allclose(fs[fv], scores[keep[valid]], rtol=1e-6)
+
+    def test_cluster_coordinates_are_confidence_weighted_mean(self):
+        from gcssl_tpu.ops import nms_fused
+
+        # two overlapping candidates of one object + one far singleton
+        boxes = jnp.asarray([
+            [0.50, 0.50, 0.20, 0.20],   # score .9
+            [0.54, 0.50, 0.20, 0.20],   # score .3, IoU > .5 with first
+            [0.90, 0.90, 0.10, 0.10],   # far, survives alone
+        ])
+        scores = jnp.asarray([0.9, 0.3, 0.8])
+        fb, fs, fv = nms_fused(boxes, scores, 0.5, max_out=3)
+        fb, fs, fv = np.asarray(fb), np.asarray(fs), np.asarray(fv)
+        assert fv.tolist() == [True, True, False]
+        want_cx = (0.9 * 0.50 + 0.3 * 0.54) / 1.2
+        np.testing.assert_allclose(fb[0], [want_cx, 0.5, 0.2, 0.2], atol=1e-6)
+        np.testing.assert_allclose(fb[1], [0.9, 0.9, 0.1, 0.1], atol=1e-6)
+        np.testing.assert_allclose(fs[:2], [0.9, 0.8])
+
+    def test_invalid_candidates_do_not_contribute(self):
+        from gcssl_tpu.ops import nms_fused
+
+        boxes = jnp.asarray([
+            [0.50, 0.50, 0.20, 0.20],
+            [0.60, 0.50, 0.20, 0.20],   # would fuse, but masked invalid
+        ])
+        scores = jnp.asarray([0.9, 0.9])
+        fb, _, fv = nms_fused(
+            boxes, scores, 0.3, max_out=2,
+            valid_mask=jnp.asarray([True, False]),
+        )
+        fb, fv = np.asarray(fb), np.asarray(fv)
+        assert fv.tolist() == [True, False]
+        np.testing.assert_allclose(fb[0], [0.5, 0.5, 0.2, 0.2], atol=1e-6)
+
+    def test_tta_duplicates_average_out_localization_noise(self):
+        from gcssl_tpu.ops import nms_fused
+
+        # same object seen by two TTA views with symmetric jitter
+        truth = np.array([0.5, 0.5, 0.3, 0.3], np.float32)
+        views = np.stack([truth + [0.02, 0, 0, 0], truth - [0.02, 0, 0, 0]])
+        fb, _, fv = nms_fused(
+            jnp.asarray(views), jnp.asarray([0.8, 0.8]), 0.5, max_out=2
+        )
+        fb = np.asarray(fb)
+        np.testing.assert_allclose(fb[0], truth, atol=1e-6)

@@ -35,7 +35,7 @@ class StubPredict:
     def __init__(self, max_out=10):
         self.max_out = max_out
 
-    def __call__(self, params, images_u8, conf_thr, iou_thr, tta=False):
+    def __call__(self, params, images_u8, conf_thr, iou_thr, tta=False, fuse=False):
         b = images_u8.shape[0]
         boxes = np.zeros((b, self.max_out, 4), np.float32)
         scores = np.zeros((b, self.max_out), np.float32)
