@@ -475,6 +475,7 @@ def make_detector_predict(
     model,
     max_out: int | None = None,
     pre_nms_topk: int = 300,
+    tta_scales: tuple[float, ...] = (),
 ):
     """Batched jitted predict: images -> (boxes (B, K, 4) cxcywh, scores
     (B, K), valid (B, K)) after confidence threshold + NMS.
@@ -482,10 +483,20 @@ def make_detector_predict(
     NMS runs on the top ``pre_nms_topk`` candidates per image — the dense
     grid is ~8.4k cells at 640px and a full pairwise IoU there would be a
     B x 8400^2 tensor (36 GB at batch 16); top-k first keeps it at
-    B x 300^2."""
+    B x 300^2.
+
+    ``tta_scales``: extra inference scales (fractions of ``cfg.img_size``,
+    snapped to /32 for the FPN strides) whose candidates join the TTA merge
+    when ``tta=True`` — the detector is fully convolutional and its boxes
+    decode to normalized coordinates, so per-scale outputs concatenate
+    directly.  The mosaic zoom augmentation (cfg.zoom_min..max) trains the
+    model across this scale range."""
     from gcssl_tpu.ops.nms import nms, nms_fused
 
     max_out = max_out or cfg.max_boxes
+    scale_sizes = tuple(
+        int(round(cfg.img_size * s / 32)) * 32 for s in tta_scales
+    )
 
     @functools.partial(
         jax.jit, static_argnames=("conf_thr", "iou_thr", "tta", "fuse")
@@ -503,6 +514,14 @@ def make_detector_predict(
             b2 = b2.at[..., 0].set(1.0 - b2[..., 0])
             scores = jnp.concatenate([scores, s2], axis=1)
             boxes = jnp.concatenate([boxes, b2], axis=1)
+            for size in scale_sizes:
+                imgs_s = jax.image.resize(
+                    images, (images.shape[0], size, size, 3), "bilinear"
+                )
+                outs_s = model.apply({"params": params}, imgs_s)
+                s3, b3 = decode_all(outs_s, size)
+                scores = jnp.concatenate([scores, s3], axis=1)
+                boxes = jnp.concatenate([boxes, b3], axis=1)
         conf = scores[..., 0]  # single class
         k = min(pre_nms_topk, conf.shape[1])
         top_conf, top_idx = jax.lax.top_k(conf, k)

@@ -77,6 +77,10 @@ def _terminate(proc: subprocess.Popen, grace_s: float = 15.0) -> None:
     proc.wait()
 
 
+def _print_flush(msg: str) -> None:
+    print(msg, flush=True)  # stdout is block-buffered under nohup/redirects
+
+
 def supervise(
     cmd: list[str],
     watch_paths: list[str | Path],
@@ -84,7 +88,7 @@ def supervise(
     max_restarts: int = 10,
     poll_s: float = 30.0,
     restart_backoff_s: float = 60.0,
-    log_fn=print,
+    log_fn=_print_flush,
 ) -> int:
     """Run ``cmd``; kill + relaunch it whenever ``watch_paths`` stop
     advancing for ``stall_timeout_s``.  Returns the child's exit code once

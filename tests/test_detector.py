@@ -164,6 +164,34 @@ class TestTraining:
         out = predict(state.params, images, 0.001, 0.45, True)
         assert np.isfinite(np.asarray(out[0])).all()
 
+    def test_predict_scale_tta(self):
+        """Extra inference scales merge into the TTA candidate set; the
+        fully-conv model decodes every scale to the same normalized box
+        space, so outputs stay finite and in [0, 1]."""
+        cfg = small_cfg()
+        state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        predict = make_detector_predict(cfg, model, tta_scales=(0.75, 1.25))
+        images = jnp.zeros((1, 128, 128, 3), jnp.uint8)
+        boxes, scores, valid = predict(state.params, images, 0.001, 0.45, True)
+        boxes = np.asarray(boxes)
+        assert np.isfinite(boxes).all()
+        v = np.asarray(valid)[0]
+        assert v.any()  # at conf 0.001 the untrained prior fires everywhere
+        assert (boxes[0][v][:, :2] >= -0.3).all() and (boxes[0][v][:, :2] <= 1.3).all()
+
+    def test_predict_fuse_matches_nms_survivor_scores(self):
+        cfg = small_cfg()
+        state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        predict = make_detector_predict(cfg, model)
+        images = jnp.zeros((1, 128, 128, 3), jnp.uint8)
+        _, s_plain, v_plain = predict(state.params, images, 0.001, 0.45, True)
+        b_f, s_f, v_f = predict(state.params, images, 0.001, 0.45, True, True)
+        np.testing.assert_array_equal(np.asarray(v_plain), np.asarray(v_f))
+        np.testing.assert_allclose(
+            np.asarray(s_plain), np.asarray(s_f), rtol=1e-5
+        )
+        assert np.isfinite(np.asarray(b_f)).all()
+
 
 class TestMAP:
     def test_perfect_predictions(self):
