@@ -240,6 +240,19 @@ def main():
             "merged_images": n_merged,
             "conf_high": conf_high,
         }, indent=1))
+        # persist inference params immediately: full train states are
+        # gitignored and do not survive workspace resets (core/release.py)
+        from gcssl_tpu.core.release import export_detector
+
+        rel = export_detector(
+            retrain_dir, Path("weights") / f"detector_{work.name}.msgpack.gz",
+            rcfg, which="best",
+            extra_meta={"width_mult": rcfg.width_mult,
+                        "depth_mult": rcfg.depth_mult,
+                        "teacher": f"{weights_dir} {teacher_map50}",
+                        "merged_images": n_merged},
+        )
+        say(f"release exported: {rel}")
     say(f"LOOP RESULT: {result_path.read_text()}")
 
 
