@@ -75,6 +75,7 @@ def nms_fused(
     iou_thr: float,
     max_out: int,
     valid_mask: jax.Array | None = None,
+    rel_score_thr: float = 0.5,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy NMS with weighted box fusion (WBF-style coordinate merging).
 
@@ -86,6 +87,13 @@ def nms_fused(
     the per-view localization noise.  (Solovyev et al., "Weighted Boxes
     Fusion", 2021 — public technique; the reference has no equivalent, its
     Ultralytics ``augment=True`` merges candidates with plain NMS.)
+
+    ``rel_score_thr``: a cluster member only contributes to the average if
+    its score is >= this fraction of the cluster leader's.  Without it, a
+    low-confidence-threshold regime (e.g. mAP eval at conf 1e-3) floods
+    each cluster with hundreds of near-zero-score candidates whose summed
+    weight outvotes the one confident box; classic WBF never sees this
+    because it fuses small post-NMS candidate sets.
 
     Returns:
         (fused_boxes (max_out, 4), scores (max_out,), keep_valid (max_out,)).
@@ -119,7 +127,9 @@ def nms_fused(
     member = member & finite[None, :]
     owner = jnp.argmax(member, axis=0)                      # (N,) first-true
     owned = member[owner, idx]                              # j has an owner at all
-    w = jnp.where(owned & finite, jnp.maximum(s_sorted, 0.0), 0.0)
+    near_leader = s_sorted >= rel_score_thr * s_sorted[owner]
+    w = jnp.where(owned & finite & near_leader,
+                  jnp.maximum(s_sorted, 0.0), 0.0)
     onehot = (owner[None, :] == idx[:, None]) & owned[None, :]   # (N owners, N)
     wsum = (onehot * w[None, :]).sum(axis=1)
     fused = (onehot * w[None, :]) @ boxes_sorted / jnp.maximum(wsum, 1e-12)[:, None]

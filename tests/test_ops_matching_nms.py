@@ -168,17 +168,36 @@ class TestNmsFused:
         # two overlapping candidates of one object + one far singleton
         boxes = jnp.asarray([
             [0.50, 0.50, 0.20, 0.20],   # score .9
-            [0.54, 0.50, 0.20, 0.20],   # score .3, IoU > .5 with first
+            [0.54, 0.50, 0.20, 0.20],   # score .6, IoU > .5 with first
             [0.90, 0.90, 0.10, 0.10],   # far, survives alone
         ])
-        scores = jnp.asarray([0.9, 0.3, 0.8])
+        scores = jnp.asarray([0.9, 0.6, 0.8])
         fb, fs, fv = nms_fused(boxes, scores, 0.5, max_out=3)
         fb, fs, fv = np.asarray(fb), np.asarray(fs), np.asarray(fv)
         assert fv.tolist() == [True, True, False]
-        want_cx = (0.9 * 0.50 + 0.3 * 0.54) / 1.2
+        want_cx = (0.9 * 0.50 + 0.6 * 0.54) / 1.5
         np.testing.assert_allclose(fb[0], [want_cx, 0.5, 0.2, 0.2], atol=1e-6)
         np.testing.assert_allclose(fb[1], [0.9, 0.9, 0.1, 0.1], atol=1e-6)
         np.testing.assert_allclose(fs[:2], [0.9, 0.8])
+
+    def test_low_score_members_excluded_by_relative_cutoff(self):
+        from gcssl_tpu.ops import nms_fused
+
+        # junk at 1% of the leader's score must not shift the coordinates
+        # (the low-conf-threshold eval regime: hundreds of such candidates)
+        boxes = jnp.asarray([
+            [0.50, 0.50, 0.20, 0.20],
+            [0.60, 0.50, 0.20, 0.20],
+            [0.58, 0.52, 0.20, 0.20],
+        ])
+        scores = jnp.asarray([0.9, 0.009, 0.008])
+        fb, _, fv = nms_fused(boxes, scores, 0.3, max_out=3)
+        fb = np.asarray(fb)
+        assert np.asarray(fv).tolist() == [True, False, False]
+        np.testing.assert_allclose(fb[0], [0.5, 0.5, 0.2, 0.2], atol=1e-6)
+        # with the cutoff disabled they do shift it
+        fb2, _, _ = nms_fused(boxes, scores, 0.3, max_out=3, rel_score_thr=0.0)
+        assert abs(np.asarray(fb2)[0, 0] - 0.5) > 1e-3
 
     def test_invalid_candidates_do_not_contribute(self):
         from gcssl_tpu.ops import nms_fused
