@@ -123,6 +123,9 @@ class CalibratorTrainConfig:
     # W&B-compatible run export (wandb/run-*/files tree, offline; mirrors
     # the reference's cgan/config.yaml:38-44 wandb block)
     wandb: bool = False
+    # TensorBoard param-histogram logging every N epochs (0 = off) — the
+    # wandb.watch(log='all') analogue; costs one params device_get per dump
+    watch_every_epochs: int = 0
 
 
 @dataclass

@@ -17,19 +17,28 @@ from typing import Any
 
 
 class MetricsLogger:
-    def __init__(self, run_dir: str | Path, console: bool = True):
+    def __init__(self, run_dir: str | Path, console: bool = True,
+                 tensorboard: bool = True):
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.console = console
         self.records: list[dict[str, Any]] = []
         self._jsonl = self.run_dir / "metrics.jsonl"
         self._csv = self.run_dir / "results.csv"
+        self._tb = None
+        if tensorboard:
+            from gcssl_tpu.obs.tensorboard import TBWriter
+
+            self._tb = TBWriter(self.run_dir / "tb")
 
     def log(self, record: dict[str, Any]) -> None:
         self.records.append(record)
         with self._jsonl.open("a") as f:
             f.write(json.dumps(record) + "\n")
         self._write_csv()
+        if self._tb is not None:
+            step = record.get("epoch", record.get("step", len(self.records)))
+            self._tb.scalars(record, int(step))
         if self.console:
             parts = []
             for k, v in record.items():
@@ -47,7 +56,16 @@ class MetricsLogger:
             w.writeheader()
             w.writerows(self.records)
 
+    def watch(self, tree, step: int, prefix: str = "params") -> None:
+        """Per-leaf histograms of a param/grad pytree into TensorBoard —
+        the ``wandb.watch(netG/netD, log='all')`` analogue
+        (/root/reference/cgan/cgan_train_enhanced.py:247-248)."""
+        if self._tb is not None:
+            self._tb.watch(tree, step, prefix)
+
     def finalize(self, filename: str = "training_history.json") -> Path:
         out = self.run_dir / filename
         out.write_text(json.dumps(self.records, indent=2))
+        if self._tb is not None:
+            self._tb.close()
         return out

@@ -558,6 +558,11 @@ def train_calibrator(
         wandb_run = WandbExporter(
             tcfg.save_dir, project="gcssl-tpu-calibrator", config=asdict(cfg)
         )
+    tb_watch = None
+    if tcfg.watch_every_epochs:
+        from gcssl_tpu.obs.tensorboard import TBWriter
+
+        tb_watch = TBWriter(Path(tcfg.save_dir) / "tb")
     bad_epochs = 0
     ckpt = CheckpointManager(Path(tcfg.save_dir))
     np_rng = np.random.default_rng(tcfg.seed)
@@ -630,6 +635,10 @@ def train_calibrator(
                 save_sample_grid(
                     Path(tcfg.save_dir) / "samples" / f"epoch_{epoch}.png", p, r, g
                 )
+
+        if tb_watch is not None and epoch % tcfg.watch_every_epochs == 0:
+            tb_watch.watch(jax.device_get(state.g_params), epoch, "G")
+            tb_watch.watch(jax.device_get(state.d_params), epoch, "D")
 
         sched_g.step(delta_iou)
         record = {

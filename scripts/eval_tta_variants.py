@@ -46,6 +46,7 @@ def main():
         o[k] = v
     data_dir = Path(o.pop("data_dir", str(DATA / "val")))
     scales = tuple(o.pop("scales", (0.75, 1.25)))
+    only = o.pop("variants", None)  # e.g. variants='["tta_fuse"]'
     cfg = apply_overrides(DetectorConfig(), o)
 
     state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
@@ -69,7 +70,9 @@ def main():
         "tta_scales": dict(tta=True, fuse=False, scales=scales),
         "tta_scales_fuse": dict(tta=True, fuse=True, scales=scales),
     }
-    results = {}
+    if only:
+        variants = {k: variants[k] for k in only}
+    results = json.loads(out_path.read_text()) if out_path.exists() else {}
     for name, v in variants.items():
         predict_fn = make_detector_predict(
             cfg, model, max_out=300, pre_nms_topk=700, tta_scales=v["scales"]
