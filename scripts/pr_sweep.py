@@ -70,19 +70,28 @@ def main():
         except json.JSONDecodeError:
             pass
         overrides[k] = v
+    tta = bool(overrides.pop("tta", True))
+    fuse = bool(overrides.pop("fuse", False))
     cfg = apply_overrides(DetectorConfig(), overrides)
 
+    from gcssl_tpu.core.release import is_release_file, load_release
+
     state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
-    mgr = CheckpointManager(weights_dir)
-    which = "best" if mgr.exists("best") else "last"
-    state = mgr.restore(which, jax.device_get(state))
+    if is_release_file(weights_dir):
+        params, _meta = load_release(weights_dir)
+        params = jax.device_put(params)
+    else:
+        mgr = CheckpointManager(weights_dir)
+        which = "best" if mgr.exists("best") else "last"
+        state = mgr.restore(which, jax.device_get(state))
+        params = eval_params(cfg, state)
     predict_fn = make_detector_predict(cfg, model, max_out=300, pre_nms_topk=700)
 
     val = load_detection_tree(str(DATA / "val"), cfg.img_size, cfg.max_boxes)
     # low floor threshold; sweep applied on scores afterwards
     boxes, scores = predict_arrays(
-        predict_fn, eval_params(cfg, state), val,
-        conf_thr=0.05, iou_thr=0.45, tta=True,
+        predict_fn, params, val,
+        conf_thr=0.05, iou_thr=0.45, tta=tta, fuse=fuse,
     )
     gts = [val.boxes[i][val.mask[i]] for i in range(len(val))]
 
