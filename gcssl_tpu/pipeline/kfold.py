@@ -54,8 +54,15 @@ def kfold_pseudo_label(
     max_epochs: int | None = None,
     log_fn=None,
     init_from: str | Path | None = None,
+    fold_parallel: bool = False,
+    mesh=None,
 ) -> Path:
-    """Run all folds; returns the merged_pseudo directory."""
+    """Run all folds; returns the merged_pseudo directory.
+
+    ``fold_parallel=True`` trains every fold simultaneously in one jitted
+    program over a ``fold`` mesh axis (parallel/fold_parallel.py) instead of
+    the sequential fold loop — K trainings in the wall-clock of one on a
+    K-device (or K×M) mesh."""
     train_images_dir = Path(train_images_dir)
     output_root = Path(output_root)
     img_paths = list_images(train_images_dir)
@@ -66,6 +73,12 @@ def kfold_pseudo_label(
         if val_dir
         else None
     )
+
+    if fold_parallel:
+        return _kfold_parallel(
+            det_cfg, pl_cfg, train_images_dir, output_root, img_paths,
+            val_arrays, copy_images, max_epochs, log_fn, mesh,
+        )
 
     for fold, (train_idx, infer_idx) in enumerate(
         kfold_split(n, pl_cfg.kfolds, seed=42), start=1
@@ -103,7 +116,57 @@ def kfold_pseudo_label(
         )
         (fold_root / "done.txt").write_text("ok\n")
 
-    # merge folds
+    return _merge_folds(output_root, img_paths, copy_images)
+
+
+def _kfold_parallel(
+    det_cfg, pl_cfg, train_images_dir, output_root, img_paths,
+    val_arrays, copy_images, max_epochs, log_fn, mesh,
+):
+    """All folds in one stacked program; same on-disk artifacts as the
+    sequential path (fold_*/train_list.txt, pseudo label trees, merged)."""
+    import json
+
+    import jax
+
+    from gcssl_tpu.parallel.fold_parallel import train_folds
+
+    n = len(img_paths)
+    folds = list(kfold_split(n, pl_cfg.kfolds, seed=42))
+    arrays = load_detection_tree(
+        train_images_dir.parent, det_cfg.img_size, det_cfg.max_boxes,
+        image_list=img_paths,
+    )
+    best_params, histories, model = train_folds(
+        det_cfg, arrays, folds, val_arrays=val_arrays, mesh=mesh,
+        max_epochs=max_epochs, log_fn=log_fn,
+    )
+    predict_fn = make_detector_predict(det_cfg, model)
+    for fold, (train_idx, infer_idx) in enumerate(folds, start=1):
+        fold_root = output_root / f"fold_{fold:02d}"
+        pseudo_dir = fold_root / "pseudo_labels" / "pred" / "labels"
+        pseudo_dir.mkdir(parents=True, exist_ok=True)
+        fold_root.joinpath("train_list.txt").write_text(
+            "\n".join(str(img_paths[i]) for i in train_idx) + "\n"
+        )
+        fold_root.joinpath("infer_list.txt").write_text(
+            "\n".join(str(img_paths[i]) for i in infer_idx) + "\n"
+        )
+        (fold_root / "train").mkdir(parents=True, exist_ok=True)
+        (fold_root / "train" / "results.json").write_text(
+            json.dumps(histories[fold - 1], indent=2)
+        )
+        predict_to_tree(
+            det_cfg, predict_fn, jax.device_put(best_params[fold - 1]),
+            train_images_dir, pseudo_dir,
+            conf_thr=pl_cfg.kfold_conf, iou_thr=pl_cfg.kfold_iou_nms,
+            image_list=[img_paths[i] for i in infer_idx], save_conf=True,
+        )
+        (fold_root / "done.txt").write_text("ok\n")
+    return _merge_folds(output_root, img_paths, copy_images)
+
+
+def _merge_folds(output_root: Path, img_paths, copy_images: bool) -> Path:
     merged = output_root / "merged_pseudo"
     merged_labels = merged / "labels"
     merged_labels.mkdir(parents=True, exist_ok=True)

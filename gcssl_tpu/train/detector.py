@@ -404,14 +404,16 @@ def create_detector_state(cfg: DetectorConfig, rng: jax.Array):
     return state, model, tx
 
 
-def make_detector_train_step(cfg: DetectorConfig, model, tx):
-    """Fused step over 4-tuples of source images: mosaic (flag-gated) +
-    hflip/brightness aug + forward/backward + Adam + weight EMA, all one
-    compiled program."""
+def make_detector_step_core(cfg: DetectorConfig, model, tx):
+    """The un-jitted single-fold train step (pure function of its inputs).
+
+    Exposed separately so the fold-parallel k-fold trainer
+    (parallel/fold_parallel.py) can ``vmap`` it over a stacked fold axis;
+    ``make_detector_train_step`` wraps it in ``jit`` for the ordinary
+    single-model path."""
 
     zoom_range = (cfg.zoom_min, cfg.zoom_max)
 
-    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("use_mosaic",))
     def step(state, images4_u8, boxes4, mask4, weights, lr, use_mosaic: bool = True):
         rng, mosaic_rng, aug_rng = jax.random.split(state.rng, 3)
         images4 = images4_u8.astype(jnp.float32) / 255.0
@@ -463,6 +465,15 @@ def make_detector_train_step(cfg: DetectorConfig, model, tx):
         return new_state, {"loss": loss, "cls": cls_l, "box": box_l}
 
     return step
+
+
+def make_detector_train_step(cfg: DetectorConfig, model, tx):
+    """Fused step over 4-tuples of source images: mosaic (flag-gated) +
+    hflip/brightness aug + forward/backward + Adam + weight EMA, all one
+    compiled program."""
+    return functools.partial(
+        jax.jit, donate_argnums=(0,), static_argnames=("use_mosaic",)
+    )(make_detector_step_core(cfg, model, tx))
 
 
 def eval_params(cfg: DetectorConfig, state: DetectorTrainState):
