@@ -95,6 +95,9 @@ def _add_kfold(sub):
     p.add_argument("--kfolds", type=int, default=5)
     p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--fold-parallel", action="store_true",
+                   help="train all K folds simultaneously over a 'fold' "
+                        "mesh axis (needs >=K devices)")
     _add_arch(p)
 
 
@@ -303,7 +306,8 @@ def main(argv=None) -> int:
         cfg = _detector_cfg(args)
         pl_cfg = PseudoLabelConfig(kfolds=args.kfolds)
         merged = kfold_pseudo_label(
-            cfg, pl_cfg, Path(args.train_dir) / "images", args.val_dir, args.output
+            cfg, pl_cfg, Path(args.train_dir) / "images", args.val_dir,
+            args.output, fold_parallel=args.fold_parallel,
         )
         print(json.dumps({"merged": str(merged)}))
 
