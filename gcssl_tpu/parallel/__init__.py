@@ -5,6 +5,7 @@ from gcssl_tpu.parallel.data_parallel import (
     shard_along_batch,
     cross_replica_mean,
     make_shard_map_step,
+    make_detector_dp_step,
 )
 from gcssl_tpu.parallel.fold_parallel import (
     make_fold_mesh,
@@ -17,6 +18,7 @@ __all__ = [
     "shard_along_batch",
     "cross_replica_mean",
     "make_shard_map_step",
+    "make_detector_dp_step",
     "make_fold_mesh",
     "make_fold_train_step",
     "train_folds",

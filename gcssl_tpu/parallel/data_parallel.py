@@ -58,3 +58,36 @@ def make_shard_map_step(grad_fn, mesh: Mesh, axis: str = "data"):
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def make_detector_dp_step(cfg, model, tx, mesh: Mesh, axis: str = "data"):
+    """Explicit data-parallel detector train step over a 1-D mesh.
+
+    The batch dim of every data arg is sharded over ``axis``; the step core
+    (train/detector.py:make_detector_step_core) psums loss normalizers,
+    grads and metric scalars over it, so the returned state/metrics are the
+    exact full-batch update (replicated).  Complements the fold-parallel
+    trainer: this scales ONE detector across chips, that one scales K
+    independent folds."""
+    import functools
+
+    from gcssl_tpu.train.detector import make_detector_step_core
+
+    core = make_detector_step_core(cfg, model, tx, grad_axis=axis)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
+    def _step(state, images4_u8, boxes4, mask4, weights, lr, use_mosaic):
+        return jax.shard_map(
+            functools.partial(core, use_mosaic=use_mosaic),
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(state, images4_u8, boxes4, mask4, weights, lr)
+
+    def step(state, images4_u8, boxes4, mask4, weights, lr,
+             use_mosaic: bool = True):
+        return _step(state, images4_u8, boxes4, mask4, weights, lr,
+                     bool(use_mosaic))
+
+    return step

@@ -37,12 +37,20 @@ from gcssl_tpu.train.detector import (
 )
 
 
-def make_fold_mesh(k: int, devices=None) -> Mesh:
-    """A ``('fold',)`` mesh over the first ``k`` devices."""
+def make_fold_mesh(k: int, data: int = 1, devices=None) -> Mesh:
+    """A ``('fold',)`` mesh over the first ``k`` devices, or a 2-D
+    ``('fold', 'data')`` mesh over ``k*data`` devices when ``data > 1``
+    (each fold trains data-parallel across its own ``data`` device group)."""
     devices = list(devices if devices is not None else jax.devices())
-    if len(devices) < k:
-        raise ValueError(f"fold mesh needs {k} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:k]), ("fold",))
+    if len(devices) < k * data:
+        raise ValueError(
+            f"fold mesh needs {k * data} devices, have {len(devices)}"
+        )
+    if data == 1:
+        return Mesh(np.asarray(devices[:k]), ("fold",))
+    return Mesh(
+        np.asarray(devices[: k * data]).reshape(k, data), ("fold", "data")
+    )
 
 
 def _stack(trees):
@@ -58,10 +66,19 @@ def make_fold_train_step(cfg: DetectorConfig, model, tx, mesh: Mesh):
 
     Each device holds one fold's shard (leading dim 1 locally) and runs the
     UNCHANGED single-fold step graph on it — no vmap'd grouped convolutions,
-    no collectives (folds are independent).  ``shard_map`` is the natural
-    expression of "K isolated programs on K device groups"."""
-    core = make_detector_step_core(cfg, model, tx)
+    no cross-fold collectives (folds are independent).  ``shard_map`` is the
+    natural expression of "K isolated programs on K device groups".
+
+    On a 2-D ``('fold', 'data')`` mesh each fold additionally trains
+    data-parallel across its ``data`` group: the batch dim is sharded over
+    'data', the step core psums grads/metrics over it (grad_axis), and the
+    fold's train-state stays replicated within the group by construction."""
+    has_data = "data" in mesh.axis_names
+    core = make_detector_step_core(
+        cfg, model, tx, grad_axis="data" if has_data else None
+    )
     spec, rspec = P("fold"), P()
+    bspec = P("fold", "data") if has_data else P("fold")
 
     def _local(states, images4_u8, boxes4, mask4, weights, lr, use_mosaic):
         # local block: leading fold dim of size 1 on every sharded arg
@@ -78,7 +95,7 @@ def make_fold_train_step(cfg: DetectorConfig, model, tx, mesh: Mesh):
         return jax.shard_map(
             functools.partial(_local, use_mosaic=use_mosaic),
             mesh=mesh,
-            in_specs=(spec, spec, spec, spec, spec, rspec),
+            in_specs=(spec, bspec, bspec, bspec, bspec, rspec),
             out_specs=(spec, spec),
             check_vma=False,
         )(states, images4_u8, boxes4, mask4, weights, lr)

@@ -101,11 +101,18 @@ def assign_targets_level(
     return box_target, pos
 
 
-def detection_loss(outs, gt_boxes, gt_mask, img_size: int, weights):
+def detection_loss(outs, gt_boxes, gt_mask, img_size: int, weights,
+                   axis_name: str | None = None):
     """Focal classification + CIoU-style box loss over all levels.
 
     outs: list of (cls_logits (B,H,W,C), ltrb (B,H,W,4)); single-class C=1.
     gt_boxes: (B, G, 4) normalized cxcywh; gt_mask: (B, G); weights: (B,).
+
+    ``axis_name``: data-parallel mesh axis.  The positive-count normalizer
+    is psum'd over it (it is assignment-derived, i.e. stop-gradient, so the
+    collective never enters autodiff), making the per-shard value
+    local_numerator / GLOBAL_denominator — psum of per-shard losses (and of
+    per-shard grads) then reproduces the full-batch computation exactly.
     """
     alpha, gamma = 0.25, 2.0
     total_cls, total_box, total_pos = 0.0, 0.0, 0.0
@@ -155,6 +162,8 @@ def detection_loss(outs, gt_boxes, gt_mask, img_size: int, weights):
         total_box += jnp.sum(box_l)
         total_pos += jnp.sum(pos * weights[:, None])
 
+    if axis_name is not None:
+        total_pos = jax.lax.psum(jax.lax.stop_gradient(total_pos), axis_name)
     norm = jnp.maximum(total_pos, 1.0)
     return total_cls / norm, total_box / norm
 
@@ -168,6 +177,7 @@ def detection_loss_tal(
     topk: int = 10,
     cls_weight: float = 0.5,
     box_weight: float = 7.5,
+    axis_name: str | None = None,
 ):
     """Task-aligned loss (the YOLOv8-style objective, independently built —
     see train/assign.py): soft-target BCE on every cell + EIoU box loss on
@@ -175,6 +185,11 @@ def detection_loss_tal(
 
     outs: list of (cls_logits (B,H,W,1), ltrb (B,H,W,4)); single class.
     gt_boxes: (B, G, 4) normalized cxcywh; gt_mask: (B, G); weights: (B,).
+
+    ``axis_name``: data-parallel mesh axis; the quality-target normalizer
+    (stop-gradient by construction — TAL assigns on stop_gradient'd preds)
+    is psum'd over it so per-shard losses/grads psum to the exact
+    full-batch values (see detection_loss).
     """
     scores, boxes = decode_all(outs, img_size)      # (B,N,1), (B,N,4)
     logits = flat_logits(outs)[..., 0]              # (B, N)
@@ -189,7 +204,12 @@ def detection_loss_tal(
     cls_t = cls_t * weights[:, None]
     pos = pos & (weights[:, None] > 0)
 
-    target_sum = jnp.maximum(jnp.sum(cls_t), 1.0)
+    target_total = jnp.sum(cls_t)
+    if axis_name is not None:
+        target_total = jax.lax.psum(
+            jax.lax.stop_gradient(target_total), axis_name
+        )
+    target_sum = jnp.maximum(target_total, 1.0)
     ce = optax.sigmoid_binary_cross_entropy(logits, cls_t)
     cls_loss = jnp.sum(ce * weights[:, None]) / target_sum
 
@@ -404,18 +424,31 @@ def create_detector_state(cfg: DetectorConfig, rng: jax.Array):
     return state, model, tx
 
 
-def make_detector_step_core(cfg: DetectorConfig, model, tx):
+def make_detector_step_core(cfg: DetectorConfig, model, tx,
+                            grad_axis: str | None = None):
     """The un-jitted single-fold train step (pure function of its inputs).
 
     Exposed separately so the fold-parallel k-fold trainer
-    (parallel/fold_parallel.py) can ``vmap`` it over a stacked fold axis;
+    (parallel/fold_parallel.py) can map it over a stacked fold axis;
     ``make_detector_train_step`` wraps it in ``jit`` for the ordinary
-    single-model path."""
+    single-model path.
+
+    ``grad_axis``: run the step data-parallel under ``shard_map`` — each
+    shard sees its slice of the batch, loss normalizers are psum'd inside
+    the loss (see detection_loss), and grads + metric scalars are psum'd
+    here so every shard applies the identical full-batch update (params /
+    opt / EMA / rng stay bitwise replicated by construction).  Aug rngs are
+    decorrelated per shard via ``axis_index`` folding; the carried
+    ``state.rng`` update stays shard-invariant."""
 
     zoom_range = (cfg.zoom_min, cfg.zoom_max)
 
     def step(state, images4_u8, boxes4, mask4, weights, lr, use_mosaic: bool = True):
         rng, mosaic_rng, aug_rng = jax.random.split(state.rng, 3)
+        if grad_axis is not None:
+            shard = jax.lax.axis_index(grad_axis)
+            mosaic_rng = jax.random.fold_in(mosaic_rng, shard)
+            aug_rng = jax.random.fold_in(aug_rng, shard)
         images4 = images4_u8.astype(jnp.float32) / 255.0
         if use_mosaic:
             images, boxes, mask = mosaic_batch(
@@ -436,16 +469,24 @@ def make_detector_step_core(cfg: DetectorConfig, model, tx):
                     outs, boxes, mask, cfg.img_size, weights,
                     topk=cfg.tal_topk,
                     cls_weight=cfg.cls_weight, box_weight=cfg.box_weight,
+                    axis_name=grad_axis,
                 )
             else:
                 cls_l, box_l = detection_loss(
-                    outs, boxes, mask, cfg.img_size, weights
+                    outs, boxes, mask, cfg.img_size, weights,
+                    axis_name=grad_axis,
                 )
             return cls_l + box_l, (cls_l, box_l)
 
         (loss, (cls_l, box_l)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if grad_axis is not None:
+            # per-shard values are local_numerator / global_denominator;
+            # psum reconstructs the exact full-batch loss and gradient
+            grads, loss, cls_l, box_l = jax.lax.psum(
+                (grads, loss, cls_l, box_l), grad_axis
+            )
         updates, opt = tx.update(grads, state.opt, state.params)
         params = optax.apply_updates(
             state.params, jax.tree.map(lambda u: -lr * u, updates)
