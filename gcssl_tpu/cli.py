@@ -185,6 +185,32 @@ def _add_pretrain(sub):
     _add_arch(p)
 
 
+def _add_export_model(sub):
+    p = sub.add_parser(
+        "export-model",
+        help="AOT-export a model to a self-contained StableHLO serving "
+             "artifact (loads with zero model code, serves any batch size)",
+    )
+    p.add_argument("kind", choices=["detector", "calibrator"])
+    p.add_argument("--weights-dir", required=True,
+                   help="train-state checkpoint dir or release .msgpack.gz")
+    p.add_argument("--out", required=True, help="artifact file to write")
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--iou", type=float, default=0.45)
+    p.add_argument("--tta", action="store_true")
+    p.add_argument("--fuse", action="store_true")
+    p.add_argument("--batch", type=int, default=None,
+                   help="pin the batch dim (default: symbolic, any size)")
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--config", default=None,
+                   help="calibrator config yaml (calibrator kind only)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--check", action="store_true",
+                   help="reload the artifact and run it on zeros")
+    _add_arch(p)
+
+
 def _add_train_ssl(sub):
     p = sub.add_parser("train-ssl", help="classification GAN-SSL training")
     p.add_argument("--dataset", default="synthetic")
@@ -203,7 +229,7 @@ def build_parser() -> argparse.ArgumentParser:
         _add_split, _add_train_detector, _add_predict, _add_two_stage,
         _add_kfold, _add_train_calibrator, _add_calibrate, _add_compare,
         _add_paired_patches, _add_eval_detector, _add_iterate, _add_pretrain,
-        _add_train_ssl,
+        _add_export_model, _add_train_ssl,
     ):
         add(sub)
     return parser
@@ -408,6 +434,38 @@ def main(argv=None) -> int:
         )
         logger.finalize("results.json")
         print(json.dumps({"images": len(images), "epochs": args.epochs}))
+
+    elif args.cmd == "export-model":
+        from gcssl_tpu.serve import (
+            export_calibrator,
+            export_detector_predict,
+            smoke_check,
+        )
+
+        platforms = tuple(args.platforms.split(","))
+        if args.kind == "detector":
+            cfg, params, _ = _load_detector(args)
+            path = export_detector_predict(
+                cfg, params, args.out, conf_thr=args.conf, iou_thr=args.iou,
+                tta=args.tta, fuse=args.fuse, batch=args.batch,
+                platforms=platforms,
+            )
+        else:
+            from gcssl_tpu.core.config import CalibratorConfig, load_config
+            from gcssl_tpu.pipeline.calibrate import (
+                load_calibrator_from_checkpoint,
+            )
+
+            ccfg = load_config(args.config) if args.config else CalibratorConfig()
+            cal = load_calibrator_from_checkpoint(args.weights_dir, ccfg)
+            path = export_calibrator(
+                ccfg, cal.g_params, args.out, batch=args.batch,
+                platforms=platforms,
+            )
+        result = {"artifact": str(path)}
+        if args.check:
+            result["check"] = smoke_check(path, batch=args.batch or 2)
+        print(json.dumps(result))
 
     elif args.cmd == "train-ssl":
         import numpy as np

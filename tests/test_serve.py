@@ -1,0 +1,144 @@
+"""AOT serving artifacts: export -> single-file load -> numerical identity
+with the live model, batch polymorphism, and container-format errors."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gcssl_tpu.core.config import CalibratorConfig, DetectorConfig, apply_overrides
+from gcssl_tpu.serve import (
+    ServedModel,
+    export_calibrator,
+    export_detector_predict,
+    export_fn,
+    read_artifact,
+    smoke_check,
+)
+
+
+def det_cfg():
+    return DetectorConfig(
+        img_size=64, width_mult=0.25, depth_mult=0.33,
+        compute_dtype="float32", max_boxes=8, seed=0,
+    )
+
+
+def calib_cfg():
+    return apply_overrides(
+        CalibratorConfig(),
+        {"data.img_size": 32, "model.generator_type": "simple",
+         "train.compute_dtype": "float32"},
+    )
+
+
+class TestContainer:
+    def test_roundtrip_and_bad_magic(self, tmp_path):
+        (b,) = jax.export.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, 3), jnp.float32)
+        p = export_fn(lambda x: x * 2.0, (spec,), tmp_path / "m.aot",
+                      {"kind": "toy"}, platforms=("cpu",))
+        meta, blob = read_artifact(p)
+        assert meta["kind"] == "toy" and meta["format"] == "gcssl-aot-v1"
+        assert len(blob) > 0 and meta["in_avals"]
+
+        bad = tmp_path / "bad.aot"
+        bad.write_bytes(b"NOTANARTIFACT" + blob)
+        with pytest.raises(ValueError, match="bad magic"):
+            read_artifact(bad)
+
+    def test_symbolic_batch_serves_multiple_sizes(self, tmp_path):
+        (b,) = jax.export.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, 3), jnp.float32)
+        p = export_fn(lambda x: jnp.sum(x, axis=1), (spec,),
+                      tmp_path / "m.aot", {"kind": "toy"}, platforms=("cpu",))
+        m = ServedModel.load(p)
+        for n in (1, 2, 5):
+            out = m(np.ones((n, 3), np.float32))
+            np.testing.assert_allclose(np.asarray(out), np.full(n, 3.0))
+
+
+class TestDetectorExport:
+    def test_exported_matches_live_predict(self, tmp_path):
+        from gcssl_tpu.train.detector import (
+            create_detector_state, eval_params, make_detector_predict,
+        )
+
+        cfg = det_cfg()
+        state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        params = eval_params(cfg, state)
+        p = export_detector_predict(
+            cfg, params, tmp_path / "det.aot",
+            conf_thr=0.0, iou_thr=0.5, platforms=("cpu",),
+        )
+
+        served = ServedModel.load(p)
+        rng = np.random.default_rng(0)
+        for n in (2, 3):  # two batch sizes through one symbolic-b artifact
+            imgs = rng.integers(0, 255, (n, 64, 64, 3)).astype(np.uint8)
+            boxes_s, scores_s, valid_s = served(imgs)
+            predict = make_detector_predict(cfg, model)
+            boxes_l, scores_l, valid_l = predict(
+                params, jnp.asarray(imgs), 0.0, 0.5, False, False
+            )
+            np.testing.assert_allclose(
+                np.asarray(boxes_s), np.asarray(boxes_l), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(scores_s), np.asarray(scores_l), atol=1e-6
+            )
+            np.testing.assert_array_equal(
+                np.asarray(valid_s), np.asarray(valid_l)
+            )
+
+    def test_meta_records_operating_point(self, tmp_path):
+        from gcssl_tpu.train.detector import create_detector_state, eval_params
+
+        cfg = det_cfg()
+        state, _, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        p = export_detector_predict(
+            cfg, eval_params(cfg, state), tmp_path / "det.aot",
+            conf_thr=0.85, iou_thr=0.4, batch=4, platforms=("cpu",),
+        )
+        meta, _ = read_artifact(p)
+        assert meta["kind"] == "detector_predict"
+        assert meta["conf_thr"] == 0.85 and meta["iou_thr"] == 0.4
+        assert meta["batch"] == 4 and meta["img_size"] == 64
+        res = smoke_check(p, batch=4)
+        assert res["kind"] == "detector_predict"
+
+
+class TestCalibratorExport:
+    def test_exported_matches_live_generator(self, tmp_path):
+        from gcssl_tpu.models.generators import build_generator
+        from gcssl_tpu.ops.boxes import delta_apply_inference
+
+        cfg = calib_cfg()
+        g_model = build_generator(
+            cfg.model.generator_type, cfg.model.delta_scale, jnp.float32
+        )
+        s = cfg.data.img_size
+        g_params = g_model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, s, s, 3), jnp.float32)
+        )["params"]
+        p = export_calibrator(cfg, g_params, tmp_path / "g.aot",
+                              platforms=("cpu",))
+
+        served = ServedModel.load(p)
+        rng = np.random.default_rng(2)
+        patches = rng.uniform(-1, 1, (3, s, s, 3)).astype(np.float32)
+        boxes = np.column_stack(
+            [rng.uniform(0.4, 0.6, (3, 2)), rng.uniform(0.2, 0.3, (3, 2))]
+        ).astype(np.float32)
+        out_s = served(patches, boxes)
+
+        deltas = g_model.apply({"params": g_params}, jnp.asarray(patches))
+        out_l = delta_apply_inference(jnp.asarray(boxes), deltas)
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_l), atol=1e-6
+        )
+        # refined boxes respect the inference clamp envelope
+        out = np.asarray(out_s)
+        assert (out[:, :2] >= 0.05 - 1e-6).all()
+        assert (out[:, :2] <= 0.95 + 1e-6).all()
