@@ -26,6 +26,7 @@ class TestParser:
              "--pseudo-labels", "p", "--merged-dir", "m", "--val-dir", "v",
              "--save-dir", "s"],
             ["pretrain", "--images", "i", "--save-dir", "s"],
+            ["export-model", "detector", "--weights-dir", "w", "--out", "o"],
             ["train-ssl"],
         ],
     )
@@ -106,3 +107,33 @@ class TestHostCommands:
         assert rc == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["pairs_written"] == 3
+
+    def test_export_model_main(self, tmp_path, capsys):
+        """export-model end-to-end from a release weights file, with the
+        reload-and-run smoke check."""
+        import jax
+
+        from gcssl_tpu.core.config import DetectorConfig
+        from gcssl_tpu.core.release import save_release
+        from gcssl_tpu.train.detector import create_detector_state, eval_params
+
+        cfg = DetectorConfig(
+            img_size=64, width_mult=0.25, depth_mult=0.33,
+            compute_dtype="float32", max_boxes=8, seed=0,
+        )
+        state, _, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        rel = tmp_path / "det.msgpack.gz"
+        save_release(eval_params(cfg, state), rel)
+
+        out = tmp_path / "det.aot"
+        rc = main([
+            "export-model", "detector", "--weights-dir", str(rel),
+            "--out", str(out), "--img-size", "64",
+            "--width-mult", "0.25", "--depth-mult", "0.33",
+            "--platforms", "cpu", "--batch", "2", "--check",
+        ])
+        assert rc == 0 or rc is None
+        assert out.exists()
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["check"]["kind"] == "detector_predict"
+        assert all(s[0] == 2 for s in res["check"]["out_shapes"])
