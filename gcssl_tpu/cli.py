@@ -61,7 +61,10 @@ def _add_train_detector(sub):
 
 def _add_predict(sub):
     p = sub.add_parser("predict", help="batched detector prediction to YOLO txt")
-    p.add_argument("--weights-dir", required=True)
+    p.add_argument("--weights-dir", default=None)
+    p.add_argument("--artifact", default=None,
+                   help="serve from an export-model artifact instead of "
+                        "weights (operating point frozen at export)")
     p.add_argument("--images", required=True)
     p.add_argument("--out-labels", required=True)
     p.add_argument("--conf", type=float, default=0.25)
@@ -304,7 +307,22 @@ def main(argv=None) -> int:
     elif args.cmd == "predict":
         from gcssl_tpu.pipeline.detect import predict_to_tree
 
-        cfg, params, predict_fn = _load_detector(args)
+        if args.artifact:
+            from gcssl_tpu.core.config import DetectorConfig
+            from gcssl_tpu.serve import as_predict_fn, load_model
+
+            served = load_model(args.artifact)
+            cfg = DetectorConfig(img_size=served.meta["img_size"])
+            predict_fn, params = as_predict_fn(served), None
+            # the operating point is frozen in the artifact
+            args.conf = served.meta["conf_thr"]
+            args.iou = served.meta["iou_thr"]
+            args.tta = served.meta["tta"]
+            args.fuse = served.meta["fuse"]
+        elif args.weights_dir:
+            cfg, params, predict_fn = _load_detector(args)
+        else:
+            raise SystemExit("predict needs --weights-dir or --artifact")
         n = predict_to_tree(
             cfg, predict_fn, params, args.images, args.out_labels,
             args.conf, args.iou, args.tta, fuse=args.fuse,

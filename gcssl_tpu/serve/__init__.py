@@ -2,6 +2,7 @@
 
 from gcssl_tpu.serve.export import (
     ServedModel,
+    as_predict_fn,
     export_calibrator,
     export_detector_predict,
     export_fn,
@@ -13,6 +14,7 @@ from gcssl_tpu.serve.export import (
 
 __all__ = [
     "ServedModel",
+    "as_predict_fn",
     "export_calibrator",
     "export_detector_predict",
     "export_fn",

@@ -242,6 +242,38 @@ def export_calibrator(
     return export_fn(fn, specs, path, meta, platforms)
 
 
+def as_predict_fn(served: ServedModel) -> Callable:
+    """Adapt a detector_predict artifact to the framework's
+    ``predict_fn(params, images, conf_thr, iou_thr, tta, fuse)`` contract so
+    every consumer of the live predict path (pipeline/detect.py
+    predict_arrays / predict_to_tree / evaluate_on, two-stage, k-fold) can
+    run from a served artifact with zero model code.
+
+    The artifact's operating point is frozen at export; ``params`` is
+    ignored (baked in) and threshold/TTA arguments must match the meta —
+    a mismatch raises rather than silently serving the wrong thresholds."""
+    meta = served.meta
+    if meta.get("kind") != "detector_predict":
+        raise ValueError(f"not a detector_predict artifact: {meta.get('kind')}")
+
+    def fn(params, images, conf_thr, iou_thr, tta=False, fuse=False):
+        frozen = {
+            "conf_thr": meta.get("conf_thr"), "iou_thr": meta.get("iou_thr"),
+            "tta": meta.get("tta"), "fuse": meta.get("fuse"),
+        }
+        asked = {"conf_thr": conf_thr, "iou_thr": iou_thr,
+                 "tta": bool(tta), "fuse": bool(fuse)}
+        bad = {k for k, v in frozen.items() if v is not None and v != asked[k]}
+        if bad:
+            raise ValueError(
+                f"artifact operating point differs on {sorted(bad)}: "
+                f"frozen {frozen} vs requested {asked}; re-export for this point"
+            )
+        return served(images)
+
+    return fn
+
+
 def smoke_check(path: str | Path, batch: int = 2) -> dict:
     """Load an artifact and run it on zeros; returns output shapes.  The
     cheap end-to-end proof that the file serves on this host's backend."""

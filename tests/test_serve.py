@@ -109,6 +109,56 @@ class TestDetectorExport:
         assert res["kind"] == "detector_predict"
 
 
+class TestServedPredictFn:
+    def _artifact(self, tmp_path, **export_kw):
+        from gcssl_tpu.train.detector import create_detector_state, eval_params
+
+        cfg = det_cfg()
+        state, _, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        p = export_detector_predict(
+            cfg, eval_params(cfg, state), tmp_path / "det.aot",
+            platforms=("cpu",), **export_kw,
+        )
+        return cfg, p
+
+    def test_operating_point_mismatch_raises(self, tmp_path):
+        from gcssl_tpu.serve import as_predict_fn, load_model
+
+        _, p = self._artifact(tmp_path, conf_thr=0.25, iou_thr=0.45)
+        fn = as_predict_fn(load_model(p))
+        imgs = np.zeros((2, 64, 64, 3), np.uint8)
+        fn(None, imgs, 0.25, 0.45)  # matching point serves
+        with pytest.raises(ValueError, match="operating point"):
+            fn(None, imgs, 0.85, 0.45)
+
+    def test_pipeline_runs_from_artifact(self, tmp_path):
+        """predict_to_tree — the pseudo-labeling consumer — end-to-end from
+        a served artifact with params=None (baked in)."""
+        from PIL import Image
+
+        from gcssl_tpu.pipeline.detect import predict_to_tree
+        from gcssl_tpu.serve import as_predict_fn, load_model
+
+        cfg, p = self._artifact(tmp_path, conf_thr=0.0, iou_thr=0.5)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 255, (48, 72, 3)).astype(np.uint8)
+            ).save(img_dir / f"im{i}.jpg")
+
+        served = load_model(p)
+        n = predict_to_tree(
+            cfg, as_predict_fn(served), None, img_dir, tmp_path / "labels",
+            conf_thr=0.0, iou_thr=0.5,
+        )
+        assert n >= 0
+        assert sorted(f.name for f in (tmp_path / "labels").glob("*.txt")) == [
+            "im0.txt", "im1.txt", "im2.txt",
+        ]
+
+
 class TestCalibratorExport:
     def test_exported_matches_live_generator(self, tmp_path):
         from gcssl_tpu.models.generators import build_generator
