@@ -196,6 +196,32 @@ def bench_detector(extras: dict) -> None:
     extras["detector_tta_infer_imgs_per_sec"] = round(n_steps * b / dt, 1)
 
 
+def bench_served(extras: dict) -> None:
+    """Inference throughput from an AOT serving artifact (gcssl_tpu.serve),
+    if one has been exported on this machine — the deployed-model number."""
+    from pathlib import Path
+
+    art = Path("exports/detector_loop_m.aot")
+    if not art.exists():
+        return
+    from gcssl_tpu.serve import load_model
+
+    served = load_model(art)
+    s = served.meta["img_size"]
+    b = served.meta.get("batch") or 16
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (b, s, s, 3)).astype(np.uint8)
+    out = served(imgs)
+    np.asarray(out[1][0])  # force remote execution (see bench_calibrator)
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = served(imgs)
+    np.asarray(out[1][0])
+    dt = time.perf_counter() - t0
+    extras["served_infer_imgs_per_sec"] = round(n_steps * b / dt, 1)
+
+
 def main() -> None:
     extras: dict = {}
     imgs_per_sec, _ = bench_calibrator(extras)
@@ -203,6 +229,10 @@ def main() -> None:
         bench_detector(extras)
     except Exception as e:  # detector bench is additive; never sink the line
         extras["detector_bench_error"] = repr(e)[:200]
+    try:
+        bench_served(extras)
+    except Exception as e:
+        extras["served_bench_error"] = repr(e)[:200]
     print(
         json.dumps(
             {
