@@ -123,6 +123,45 @@ class TestDetectorDpStep:
                     desync += 1
         assert desync == 0, f"{desync} leaves desynced across replicas"
 
+    def test_padded_slots_do_not_change_update(self):
+        """Weight-0 batch slots are padding: garbage images/boxes there
+        must not change the DP update (loss normalizers and grads are
+        weighted before the psum)."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        cfg = tiny_cfg(batch_size=4)
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+
+        rng = np.random.default_rng(11)
+        bs = 4
+        im4 = rng.integers(0, 255, (bs, 4, 64, 64, 3)).astype(np.uint8)
+        b4 = rng.uniform(0.3, 0.7, (bs, 4, 2, 4)).astype(np.float32)
+        m4 = np.ones((bs, 4, 2), bool)
+        w = np.asarray([1, 1, 1, 0], np.float32)  # slot 3 = padding
+
+        im4_g, b4_g = im4.copy(), b4.copy()
+        im4_g[3] = rng.integers(0, 255, (4, 64, 64, 3))
+        b4_g[3] = rng.uniform(0.1, 0.9, (4, 2, 4))
+
+        losses = []
+        for imgs, boxes in ((im4, b4), (im4_g, b4_g)):
+            state, model, tx = create_detector_state(
+                cfg, jax.random.PRNGKey(0)
+            )
+            step = make_detector_dp_step(cfg, model, tx, mesh)
+            state, metrics = step(
+                state, jnp.asarray(imgs), jnp.asarray(boxes),
+                jnp.asarray(m4), jnp.asarray(w), jnp.float32(1e-3),
+                use_mosaic=False,
+            )
+            losses.append(float(metrics["loss"]))
+            params = jax.device_get(state.params)
+            if len(losses) == 1:
+                ref_params = params
+        assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+        for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(params)):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
     def test_fold_by_data_mesh_step(self):
         """2 folds x 4-way DP on 8 devices: one fold-parallel step runs,
         metrics are per-fold and finite, and each fold's params stay in
