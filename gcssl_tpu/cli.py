@@ -209,6 +209,10 @@ def _add_export_model(sub):
                    help="calibrator config yaml (calibrator kind only)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets")
+    p.add_argument("--params-dtype", default=None,
+                   choices=["bfloat16", "float32"],
+                   help="storage dtype for baked weights (bfloat16 halves "
+                        "artifact size; detector only)")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and run it on zeros")
     _add_arch(p)
@@ -466,7 +470,7 @@ def main(argv=None) -> int:
             path = export_detector_predict(
                 cfg, params, args.out, conf_thr=args.conf, iou_thr=args.iou,
                 tta=args.tta, fuse=args.fuse, batch=args.batch,
-                platforms=platforms,
+                params_dtype=args.params_dtype, platforms=platforms,
             )
         else:
             from gcssl_tpu.core.config import CalibratorConfig, load_config

@@ -136,6 +136,20 @@ def _batch_dim(batch: int | None):
 # model-specific exporters
 # ---------------------------------------------------------------------------
 
+def _cast_params(params: Any, params_dtype: str | None) -> Any:
+    """Optionally cast float params to a storage dtype before baking them
+    into the artifact (bfloat16 halves artifact size; the compute path is
+    bf16 on TPU anyway, so only the weight quantization changes)."""
+    params = jax.device_get(params)
+    if params_dtype is None:
+        return params
+    dt = jnp.dtype(params_dtype)
+    return jax.tree.map(
+        lambda x: x.astype(dt) if np.issubdtype(x.dtype, np.floating) else x,
+        params,
+    )
+
+
 def export_detector_predict(
     cfg,
     params: Any,
@@ -147,6 +161,7 @@ def export_detector_predict(
     tta_scales: tuple[float, ...] = (),
     batch: int | None = None,
     pre_nms_topk: int = 300,
+    params_dtype: str | None = None,
     platforms: Sequence[str] | None = DEFAULT_PLATFORMS,
 ) -> Path:
     """Export the full batched predict — backbone, FPN/head, decode,
@@ -170,7 +185,7 @@ def export_detector_predict(
     predict = make_detector_predict(
         cfg, model, pre_nms_topk=pre_nms_topk, tta_scales=tta_scales
     )
-    params = jax.device_get(params)  # host constants, backend-independent
+    params = _cast_params(params, params_dtype)  # host constants
 
     def fn(images_u8):
         return predict(params, images_u8, conf_thr, iou_thr, tta, fuse)
@@ -190,6 +205,7 @@ def export_detector_predict(
         "tta_scales": list(tta_scales),
         "pre_nms_topk": pre_nms_topk,
         "batch": batch,
+        "params_dtype": params_dtype,
         "inputs": "uint8 images (b, S, S, 3), letterboxed RGB",
         "outputs": "boxes (b,K,4) cxcywh normalized; scores (b,K); valid (b,K)",
     }

@@ -92,6 +92,40 @@ class TestDetectorExport:
                 np.asarray(valid_s), np.asarray(valid_l)
             )
 
+    def test_bf16_params_export(self, tmp_path):
+        """bfloat16 weight storage: near-half artifact size, outputs within
+        weight-quantization tolerance of the f32 export."""
+        from gcssl_tpu.train.detector import create_detector_state, eval_params
+
+        cfg = det_cfg()
+        state, _, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        params = eval_params(cfg, state)
+        p32 = export_detector_predict(
+            cfg, params, tmp_path / "f32.aot", conf_thr=0.0, iou_thr=0.5,
+            platforms=("cpu",),
+        )
+        p16 = export_detector_predict(
+            cfg, params, tmp_path / "bf16.aot", conf_thr=0.0, iou_thr=0.5,
+            params_dtype="bfloat16", platforms=("cpu",),
+        )
+        assert p16.stat().st_size < 0.75 * p32.stat().st_size
+        m32, m16 = ServedModel.load(p32), ServedModel.load(p16)
+        assert m16.meta["params_dtype"] == "bfloat16"
+        imgs = np.random.default_rng(3).integers(
+            0, 255, (2, 64, 64, 3)
+        ).astype(np.uint8)
+        b32, s32, _ = m32(imgs)
+        b16, s16, _ = m16(imgs)
+        # a random-init net at conf 0 has near-tied scores, so NMS ordering
+        # (hence box rows) legitimately reshuffles under bf16 weight
+        # quantization — compare the score distributions, not row order
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s16), axis=None),
+            np.sort(np.asarray(s32), axis=None),
+            atol=0.02,
+        )
+        assert np.isfinite(np.asarray(b16)).all()
+
     def test_meta_records_operating_point(self, tmp_path):
         from gcssl_tpu.train.detector import create_detector_state, eval_params
 
