@@ -101,6 +101,9 @@ def _add_kfold(sub):
     p.add_argument("--fold-parallel", action="store_true",
                    help="train all K folds simultaneously over a 'fold' "
                         "mesh axis (needs >=K devices)")
+    p.add_argument("--fold-dp", type=int, default=1,
+                   help="devices per fold: 2-D ('fold','data') mesh, each "
+                        "fold data-parallel (needs K*N devices)")
     _add_arch(p)
 
 
@@ -356,6 +359,7 @@ def main(argv=None) -> int:
         merged = kfold_pseudo_label(
             cfg, pl_cfg, Path(args.train_dir) / "images", args.val_dir,
             args.output, fold_parallel=args.fold_parallel,
+            fold_dp=args.fold_dp,
         )
         print(json.dumps({"merged": str(merged)}))
 

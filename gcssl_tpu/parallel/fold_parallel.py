@@ -116,15 +116,25 @@ def train_folds(
     mesh: Mesh | None = None,
     max_epochs: int | None = None,
     log_fn=None,
+    data_parallel: int = 1,
 ) -> tuple[list[Any], list[list[dict]], Any]:
     """Train all folds simultaneously.
+
+    ``data_parallel``: devices per fold — builds the 2-D ('fold', 'data')
+    mesh so each fold's batch additionally shards over its own device
+    group (cfg.batch_size must divide by it).
 
     Returns ``(best_eval_params_per_fold, history_per_fold, model)`` where
     best params are host trees (EMA when enabled), selected per fold by val
     mAP50 exactly like the sequential trainer (pipeline/detect.py:232-242).
     """
     k = len(folds)
-    mesh = mesh or make_fold_mesh(k)
+    mesh = mesh or make_fold_mesh(k, data=data_parallel)
+    if "data" in mesh.axis_names and cfg.batch_size % mesh.shape["data"]:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by data axis "
+            f"{mesh.shape['data']}"
+        )
     if mesh.shape["fold"] != k:
         raise ValueError(f"mesh fold axis {mesh.shape['fold']} != {k} folds")
 

@@ -56,6 +56,7 @@ def kfold_pseudo_label(
     init_from: str | Path | None = None,
     fold_parallel: bool = False,
     mesh=None,
+    fold_dp: int = 1,
 ) -> Path:
     """Run all folds; returns the merged_pseudo directory.
 
@@ -77,7 +78,7 @@ def kfold_pseudo_label(
     if fold_parallel:
         return _kfold_parallel(
             det_cfg, pl_cfg, train_images_dir, output_root, img_paths,
-            val_arrays, copy_images, max_epochs, log_fn, mesh,
+            val_arrays, copy_images, max_epochs, log_fn, mesh, fold_dp,
         )
 
     for fold, (train_idx, infer_idx) in enumerate(
@@ -121,7 +122,7 @@ def kfold_pseudo_label(
 
 def _kfold_parallel(
     det_cfg, pl_cfg, train_images_dir, output_root, img_paths,
-    val_arrays, copy_images, max_epochs, log_fn, mesh,
+    val_arrays, copy_images, max_epochs, log_fn, mesh, fold_dp=1,
 ):
     """All folds in one stacked program; same on-disk artifacts as the
     sequential path (fold_*/train_list.txt, pseudo label trees, merged)."""
@@ -139,7 +140,7 @@ def _kfold_parallel(
     )
     best_params, histories, model = train_folds(
         det_cfg, arrays, folds, val_arrays=val_arrays, mesh=mesh,
-        max_epochs=max_epochs, log_fn=log_fn,
+        max_epochs=max_epochs, log_fn=log_fn, data_parallel=fold_dp,
     )
     predict_fn = make_detector_predict(det_cfg, model)
     for fold, (train_idx, infer_idx) in enumerate(folds, start=1):

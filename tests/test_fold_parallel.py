@@ -138,6 +138,38 @@ class TestTrainFolds:
             not np.allclose(x, y, atol=1e-7) for x, y in zip(la, lb)
         )
 
+    def test_data_parallel_folds(self):
+        """2 folds x 4-way DP through the public train_folds path: per-fold
+        histories finite, folds diverge, batch sharded over each fold's
+        data group."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        cfg = tiny_cfg(batch_size=4)
+        arrays = synth_arrays(n=8)
+        folds = [
+            (np.arange(0, 4), np.arange(4, 8)),
+            (np.arange(4, 8), np.arange(0, 4)),
+        ]
+        best, hists, _ = train_folds(
+            cfg, arrays, folds, max_epochs=2, data_parallel=4,
+        )
+        assert len(best) == 2
+        assert all(np.isfinite(r["loss"]) for h in hists for r in h)
+        la, lb = jax.tree.leaves(best[0]), jax.tree.leaves(best[1])
+        assert any(
+            not np.allclose(x, y, atol=1e-7) for x, y in zip(la, lb)
+        )
+
+    def test_batch_not_divisible_by_data_axis_raises(self):
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        cfg = tiny_cfg(batch_size=3)
+        arrays = synth_arrays(n=4)
+        folds = [(np.arange(0, 2), np.arange(2, 4)),
+                 (np.arange(2, 4), np.arange(0, 2))]
+        with pytest.raises(ValueError, match="not divisible"):
+            train_folds(cfg, arrays, folds, max_epochs=1, data_parallel=2)
+
     def test_unequal_folds_wrap(self):
         cfg = tiny_cfg()
         arrays = synth_arrays(n=7)
