@@ -56,6 +56,9 @@ def _add_train_detector(sub):
                         "(e.g. a pretrained backbone.msgpack)")
     p.add_argument("--resume", action="store_true",
                    help="restore full train state from save-dir/'last'")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel devices (1-D 'data' mesh, exact "
+                        "full-batch updates; batch-size must divide by it)")
     _add_arch(p)
 
 
@@ -307,7 +310,7 @@ def main(argv=None) -> int:
         logger = MetricsLogger(args.save_dir)
         train_detector(
             cfg, train, val, save_dir=args.save_dir, log_fn=logger.log,
-            init_from=args.init_from, resume=args.resume,
+            init_from=args.init_from, resume=args.resume, dp=args.dp,
         )
         logger.finalize("results.json")
 

@@ -118,13 +118,20 @@ def train_detector(
     max_epochs: int | None = None,
     resume: bool = False,
     init_from: str | Path | None = None,
+    dp: int = 1,
 ):
     """Epoch loop with warmup+cosine LR and early stop on val mAP50
     (patience from config, mirroring Ultralytics' patience=20).
 
     ``init_from``: path to a .msgpack checkpoint whose top-level dict has a
     'params' entry; any subtree whose name matches the fresh detector params
-    (e.g. a self-supervised pretrained 'backbone') is grafted in."""
+    (e.g. a self-supervised pretrained 'backbone') is grafted in.
+
+    ``dp``: train data-parallel over the first ``dp`` devices (1-D 'data'
+    mesh, parallel/data_parallel.py:make_detector_dp_step — exact full-batch
+    updates via in-loss psum'd normalizers).  The image/box stores are kept
+    replicated so each device gathers its mosaic sources locally; only the
+    gradient all-reduce rides ICI."""
     from gcssl_tpu.core.checkpoint import CheckpointManager
 
     state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(cfg.seed))
@@ -164,7 +171,25 @@ def train_detector(
             params=jax.tree.map(jnp.asarray, params),
             ema_params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         )
-    step_fn = make_detector_train_step(cfg, model, tx)
+    repl = None
+    if dp > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from gcssl_tpu.parallel.data_parallel import make_detector_dp_step
+
+        devs = jax.devices()
+        if len(devs) < dp:
+            raise ValueError(f"dp={dp} needs {dp} devices, have {len(devs)}")
+        if cfg.batch_size % dp:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by dp={dp}"
+            )
+        mesh = Mesh(np.asarray(devs[:dp]), ("data",))
+        repl = NamedSharding(mesh, P())
+        state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+        step_fn = make_detector_dp_step(cfg, model, tx, mesh)
+    else:
+        step_fn = make_detector_train_step(cfg, model, tx)
     # crowd-dense val images need a bigger detection budget than the
     # pipeline's default max_boxes cap for a faithful AP at high recall
     predict_fn = make_detector_predict(
@@ -173,9 +198,10 @@ def train_detector(
 
     n = len(train_arrays)
     rng = np.random.default_rng(cfg.seed)
-    images = jnp.asarray(train_arrays.images)
-    gt_boxes = jnp.asarray(train_arrays.boxes)
-    gt_mask = jnp.asarray(train_arrays.mask)
+    _put = (lambda x: jax.device_put(x, repl)) if repl else jnp.asarray
+    images = _put(train_arrays.images)
+    gt_boxes = _put(train_arrays.boxes)
+    gt_mask = _put(train_arrays.mask)
 
     steps_per_epoch = max(1, -(-n // cfg.batch_size))
     n_epochs = max_epochs or cfg.epochs
@@ -229,6 +255,11 @@ def train_detector(
         }
         if val_arrays is not None:
             eval_params = state.ema_params if cfg.ema_decay > 0 else state.params
+            if repl is not None:
+                # replicas are bitwise-synced; eval single-device on a host
+                # pull so the plain-jit predict doesn't see mesh-committed
+                # params mixed with default-device images
+                eval_params = jax.device_get(eval_params)
             m = evaluate_on(predict_fn, eval_params, val_arrays)
             rec.update(
                 map50=m.map50, map50_95=m.map50_95,

@@ -162,6 +162,42 @@ class TestDetectorDpStep:
         for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(params)):
             np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
+    def test_train_detector_dp_end_to_end(self):
+        """The public trainer with dp=4: epoch histories + val eval finite,
+        params leave init, and the returned state's replicas are in sync."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from gcssl_tpu.pipeline.detect import train_detector
+        from tests.test_fold_parallel import synth_arrays
+
+        cfg = tiny_cfg(batch_size=4, epochs=2, ema_decay=0.9)
+        arrays = synth_arrays(n=8)
+        val = synth_arrays(n=4, seed=1)
+        state0, _, _ = create_detector_state(cfg, jax.random.PRNGKey(cfg.seed))
+        state, _, history = train_detector(cfg, arrays, val, dp=4)
+        assert len(history) == 2
+        assert all(np.isfinite(r["loss"]) for r in history)
+        assert all("map50" in r for r in history)
+        moved = any(
+            not np.allclose(a, b)
+            for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                            jax.tree.leaves(jax.device_get(state0.params)))
+        )
+        assert moved
+        for leaf in jax.tree.leaves(state.params):
+            shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+            assert all(np.array_equal(s, shards[0]) for s in shards[1:])
+
+    def test_train_detector_dp_batch_divisibility(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        from gcssl_tpu.pipeline.detect import train_detector
+        from tests.test_fold_parallel import synth_arrays
+
+        cfg = tiny_cfg(batch_size=3)
+        with pytest.raises(ValueError, match="not divisible"):
+            train_detector(cfg, synth_arrays(n=6), dp=2)
+
     def test_fold_by_data_mesh_step(self):
         """2 folds x 4-way DP on 8 devices: one fold-parallel step runs,
         metrics are per-fold and finite, and each fold's params stay in
