@@ -15,7 +15,7 @@ import sys
 import textwrap
 import time
 
-from gcssl_tpu.utils.watchdog import newest_mtime, supervise
+from gcssl_tpu.utils.watchdog import newest_mtime, supervise, wait_for_probe
 
 
 def _write_child(tmp_path, body: str):
@@ -97,3 +97,61 @@ class TestSupervise:
             max_restarts=1, log_fn=lambda m: None,
         )
         assert rc == -1
+
+    def test_probe_gates_launch(self, tmp_path):
+        """The child is only started once the probe passes: a probe keyed
+        on a marker file fails twice (no marker), then the marker appears
+        (simulating the tunnel coming back) and the run launches and
+        completes. Probe failures must not consume restarts."""
+        work = tmp_path / "w"
+        work.mkdir()
+        marker = tmp_path / "link_up"
+        probe = _write_child(tmp_path, f"""
+            import sys
+            from pathlib import Path
+            m = Path({str(marker)!r})
+            if m.exists():
+                sys.exit(0)
+            m.write_text("")   # next probe finds the link up
+            sys.exit(1)
+        """)
+        probe_script = tmp_path / "probe.py"
+        probe.rename(probe_script)
+        child = _write_child(tmp_path, f"""
+            from pathlib import Path
+            (Path({str(work)!r}) / "done").write_text("ok")
+        """)
+        logs = []
+        rc = supervise(
+            [sys.executable, "-S", str(child)], [work],
+            stall_timeout_s=30.0, poll_s=0.2, max_restarts=0,
+            probe_cmd=[sys.executable, "-S", str(probe_script)],
+            probe_retry_s=0.1, log_fn=logs.append,
+        )
+        assert rc == 0
+        assert (work / "done").exists()
+        assert any("probe failed" in m for m in logs)
+
+
+class TestWaitForProbe:
+    def test_hung_probe_is_timeout_killed_then_retried(self, tmp_path):
+        """A probe that blocks forever (the jax.devices()-on-dead-tunnel
+        mode) must be killed at probe_timeout_s and retried, not waited on."""
+        marker = tmp_path / "up"
+        probe = tmp_path / "probe.py"
+        probe.write_text(textwrap.dedent(f"""
+            import sys, time
+            from pathlib import Path
+            m = Path({str(marker)!r})
+            if m.exists():
+                sys.exit(0)
+            m.write_text("")
+            time.sleep(3600)   # first probe hangs like a dead device call
+        """))
+        logs = []
+        t0 = time.time()
+        wait_for_probe([sys.executable, "-S", str(probe)],
+                       probe_timeout_s=1.0, probe_retry_s=0.1,
+                       log_fn=logs.append)
+        assert time.time() - t0 < 30
+        assert any("probe failed rc=-9" in m for m in logs)
