@@ -76,6 +76,8 @@ def _add_predict(sub):
     p.add_argument("--fuse", action="store_true",
                    help="WBF-style box fusion in NMS (pays with --tta)")
     p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel inference devices (not with --artifact)")
     _add_arch(p)
 
 
@@ -90,6 +92,8 @@ def _add_two_stage(sub):
     p.add_argument("--fuse", action="store_true",
                    help="WBF-style box fusion in NMS")
     p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel inference devices for both passes")
     _add_arch(p)
 
 
@@ -318,6 +322,11 @@ def main(argv=None) -> int:
         from gcssl_tpu.pipeline.detect import predict_to_tree
 
         if args.artifact:
+            if args.dp > 1:
+                raise SystemExit(
+                    "--dp needs live weights: exported artifacts are lowered "
+                    "for a single device (use --weights-dir)"
+                )
             from gcssl_tpu.core.config import DetectorConfig
             from gcssl_tpu.serve import as_predict_fn, load_model
 
@@ -335,7 +344,7 @@ def main(argv=None) -> int:
             raise SystemExit("predict needs --weights-dir or --artifact")
         n = predict_to_tree(
             cfg, predict_fn, params, args.images, args.out_labels,
-            args.conf, args.iou, args.tta, fuse=args.fuse,
+            args.conf, args.iou, args.tta, fuse=args.fuse, dp=args.dp,
         )
         print(json.dumps({"boxes_written": n}))
 
@@ -349,7 +358,8 @@ def main(argv=None) -> int:
             overlap_thr=args.overlap_thr, fuse=args.fuse,
         )
         counts = two_stage_pseudo_label(
-            cfg, pl_cfg, predict_fn, params, args.source, args.dest
+            cfg, pl_cfg, predict_fn, params, args.source, args.dest,
+            dp=args.dp,
         )
         print(json.dumps(counts))
 

@@ -56,6 +56,7 @@ def predict_arrays(
     batch_size: int = 16,
     chunk_size: int = 2048,
     fuse: bool = False,
+    dp: int = 1,
 ):
     """Run batched prediction; returns per-image (boxes cxcywh letterboxed
     frame, scores) lists.
@@ -64,14 +65,35 @@ def predict_arrays(
     by index on device — on links where host->device bandwidth is scarce,
     per-batch uploads would dominate wall time.  Chunking bounds HBM use so
     reference-scale pools (11k images x 640px = 13.5 GB) fit: each chunk's
-    resident copy is dropped before the next uploads."""
+    resident copy is dropped before the next uploads.
+
+    ``dp``: shard each batch over the first ``dp`` devices (1-D 'data'
+    mesh, params replicated) — sharding propagation partitions the whole
+    predict graph (backbone, decode, per-image NMS) with no collectives in
+    the hot path; per-image results are independent, so dp>1 output is
+    identical to dp=1."""
     # Pin params on device ONCE.  Checkpoint restore returns a numpy tree;
     # passing that straight in re-uploads every param on every batch — at
     # reference scale (11k images / 690 batches) that is ~100 GB of host
     # staging for an m-scale detector, and the relay client never returns
     # those buffers (measured: ~param-size RSS growth per execution,
     # scripts/mem_probe_predict.py), which OOM'd the two-stage pass.
-    params = jax.device_put(params)
+    batch_sh = None
+    if dp > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = jax.devices()
+        if len(devs) < dp:
+            raise ValueError(f"dp={dp} needs {dp} devices, have {len(devs)}")
+        if batch_size % dp:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by dp={dp}"
+            )
+        mesh = Mesh(np.asarray(devs[:dp]), ("data",))
+        batch_sh = NamedSharding(mesh, P("data"))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+    else:
+        params = jax.device_put(params)
     out_boxes, out_scores = [], []
     n = len(arrays)
     for c0 in range(0, max(n, 1), chunk_size):
@@ -85,6 +107,10 @@ def predict_arrays(
         pending = []
         for idx, w in _batches(m, batch_size):
             imgs = images_dev[jnp.asarray(idx)]
+            if batch_sh is not None:
+                # scatter the gathered batch over the data mesh (ICI, cheap);
+                # the jitted predict then runs SPMD-partitioned on all shards
+                imgs = jax.device_put(imgs, batch_sh)
             pending.append((predict_fn(params, imgs, conf_thr, iou_thr, tta, fuse), w))
         for (boxes, scores, valid), w in [
             (jax.device_get(p), w) for p, w in pending
@@ -298,6 +324,7 @@ def predict_to_tree(
     image_list=None,
     save_conf: bool = True,
     fuse: bool = False,
+    dp: int = 1,
 ) -> int:
     """Predict a directory (or list) of images and write YOLO txt files in
     the ORIGINAL image frame (inverse letterbox), with confidences —
@@ -307,7 +334,7 @@ def predict_to_tree(
         labels_dir="/nonexistent", image_list=image_list,
     )
     pred_boxes, pred_scores = predict_arrays(
-        predict_fn, params, arrays, conf_thr, iou_thr, tta, fuse=fuse
+        predict_fn, params, arrays, conf_thr, iou_thr, tta, fuse=fuse, dp=dp
     )
     out_labels_dir = Path(out_labels_dir)
     total = 0

@@ -64,8 +64,12 @@ def two_stage_pseudo_label(
     source_dir: str | Path,
     dest_dir: str | Path,
     batch_size: int = 16,
+    dp: int = 1,
 ) -> dict:
-    """Run both stages; returns counts {stage1_high, stage1_low, stage2_high}."""
+    """Run both stages; returns counts {stage1_high, stage1_low, stage2_high}.
+
+    ``dp``: data-parallel inference over the first ``dp`` devices for both
+    predict passes (pipeline/detect.py:predict_arrays)."""
     source_dir, dest_dir = Path(source_dir), Path(dest_dir)
     stage1, stage2 = dest_dir / "stage1", dest_dir / "stage2"
     high_img1, high_lab1 = stage1 / "high" / "images", stage1 / "high" / "labels"
@@ -84,7 +88,7 @@ def two_stage_pseudo_label(
     boxes1, scores1 = predict_arrays(
         predict_fn, params, arrays,
         conf_thr=pl_cfg.conf_high, iou_thr=pl_cfg.iou_nms,
-        tta=pl_cfg.tta, fuse=pl_cfg.fuse, batch_size=batch_size,
+        tta=pl_cfg.tta, fuse=pl_cfg.fuse, batch_size=batch_size, dp=dp,
     )
     kept_names: list[str] = []
     kept_idx: list[int] = []
@@ -113,7 +117,7 @@ def two_stage_pseudo_label(
     boxes2, scores2 = predict_arrays(
         predict_fn, params, sub,
         conf_thr=pl_cfg.conf_low, iou_thr=pl_cfg.iou_nms,
-        tta=pl_cfg.tta, fuse=pl_cfg.fuse, batch_size=batch_size,
+        tta=pl_cfg.tta, fuse=pl_cfg.fuse, batch_size=batch_size, dp=dp,
     )
     n_stage2 = 0
     for k, p in enumerate(kept_paths):

@@ -233,3 +233,42 @@ class TestDetectorDpStep:
         assert met["loss"].shape == (k,) and np.isfinite(met["loss"]).all()
         # folds trained on different data -> different losses
         assert abs(met["loss"][0] - met["loss"][1]) > 1e-7
+
+
+class TestPredictDp:
+    def test_predict_arrays_dp_matches_single_device(self):
+        """DP inference is pure data parallelism — per-image results must be
+        IDENTICAL to the single-device run (same boxes, scores, and order),
+        including the padded final batch."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from gcssl_tpu.pipeline.detect import predict_arrays
+        from gcssl_tpu.train.detector import make_detector_predict
+        from tests.test_fold_parallel import synth_arrays
+
+        cfg = tiny_cfg()
+        state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        predict_fn = make_detector_predict(cfg, model)
+        arrays = synth_arrays(n=10)  # 3 batches of 4, last padded
+        params = jax.device_get(state.params)
+        kw = dict(conf_thr=0.01, iou_thr=0.7, batch_size=4)
+        b1, s1 = predict_arrays(predict_fn, params, arrays, **kw)
+        b4, s4 = predict_arrays(predict_fn, params, arrays, dp=4, **kw)
+        assert len(b1) == len(b4) == 10
+        for i in range(10):
+            np.testing.assert_allclose(b4[i], b1[i], rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(s4[i], s1[i], rtol=1e-5, atol=1e-6)
+
+    def test_predict_arrays_dp_batch_divisibility(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        from gcssl_tpu.pipeline.detect import predict_arrays
+        from gcssl_tpu.train.detector import make_detector_predict
+        from tests.test_fold_parallel import synth_arrays
+
+        cfg = tiny_cfg()
+        state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        predict_fn = make_detector_predict(cfg, model)
+        with pytest.raises(ValueError, match="not divisible"):
+            predict_arrays(predict_fn, state.params, synth_arrays(n=6),
+                           conf_thr=0.01, iou_thr=0.7, batch_size=3, dp=2)
