@@ -111,6 +111,9 @@ def _add_kfold(sub):
     p.add_argument("--fold-dp", type=int, default=1,
                    help="devices per fold: 2-D ('fold','data') mesh, each "
                         "fold data-parallel (needs K*N devices)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel devices for the sequential fold loop "
+                        "(train + predict each fold dp-wide; for <K devices)")
     _add_arch(p)
 
 
@@ -372,7 +375,7 @@ def main(argv=None) -> int:
         merged = kfold_pseudo_label(
             cfg, pl_cfg, Path(args.train_dir) / "images", args.val_dir,
             args.output, fold_parallel=args.fold_parallel,
-            fold_dp=args.fold_dp,
+            fold_dp=args.fold_dp, dp=args.dp,
         )
         print(json.dumps({"merged": str(merged)}))
 

@@ -57,13 +57,18 @@ def kfold_pseudo_label(
     fold_parallel: bool = False,
     mesh=None,
     fold_dp: int = 1,
+    dp: int = 1,
 ) -> Path:
     """Run all folds; returns the merged_pseudo directory.
 
     ``fold_parallel=True`` trains every fold simultaneously in one jitted
     program over a ``fold`` mesh axis (parallel/fold_parallel.py) instead of
     the sequential fold loop — K trainings in the wall-clock of one on a
-    K-device (or K×M) mesh."""
+    K-device (or K×M) mesh.
+
+    ``dp``: data-parallel devices for the SEQUENTIAL path (each fold's
+    training and held-out prediction run dp-wide) — the right axis when
+    devices < K; with devices >= K prefer ``fold_parallel`` (+``fold_dp``)."""
     train_images_dir = Path(train_images_dir)
     output_root = Path(output_root)
     img_paths = list_images(train_images_dir)
@@ -106,14 +111,14 @@ def kfold_pseudo_label(
         state, model, _ = train_detector(
             det_cfg, arrays, val_arrays,
             save_dir=fold_root / "train", log_fn=log_fn, max_epochs=max_epochs,
-            init_from=init_from,
+            init_from=init_from, dp=dp,
         )
         predict_fn = make_detector_predict(det_cfg, model)
         predict_to_tree(
             det_cfg, predict_fn, eval_params(det_cfg, state),
             train_images_dir, pseudo_dir,
             conf_thr=pl_cfg.kfold_conf, iou_thr=pl_cfg.kfold_iou_nms,
-            image_list=infer_list, save_conf=True,
+            image_list=infer_list, save_conf=True, dp=dp,
         )
         (fold_root / "done.txt").write_text("ok\n")
 

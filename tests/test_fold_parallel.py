@@ -214,3 +214,32 @@ class TestKfoldParallelPipeline:
         # every image got a pseudo-label file at conf floor 0
         labels = list((merged / "labels").glob("*.txt"))
         assert len(labels) == n
+
+    def test_sequential_pipeline_dp(self, tmp_path):
+        """Sequential fold loop with dp=2: each fold trains and predicts
+        data-parallel; artifacts match the single-device contract."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        from PIL import Image
+
+        from gcssl_tpu.pipeline.kfold import kfold_pseudo_label
+
+        root = tmp_path / "train"
+        (root / "images").mkdir(parents=True)
+        (root / "labels").mkdir()
+        rng = np.random.default_rng(1)
+        n = 6
+        for i in range(n):
+            Image.fromarray(
+                rng.integers(0, 255, (72, 96, 3), dtype=np.uint8)
+            ).save(root / "images" / f"t{i}.jpg")
+            (root / "labels" / f"t{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+
+        det_cfg = tiny_cfg(epochs=1, batch_size=4)
+        pl_cfg = PseudoLabelConfig(kfolds=2, kfold_conf=0.0, kfold_iou_nms=0.9)
+        merged = kfold_pseudo_label(
+            det_cfg, pl_cfg, root / "images", None, tmp_path / "out",
+            copy_images=False, max_epochs=1, dp=2,
+        )
+        labels = list((merged / "labels").glob("*.txt"))
+        assert len(labels) == n
