@@ -226,6 +226,12 @@ def _add_export_model(sub):
                    choices=["bfloat16", "float32"],
                    help="storage dtype for baked weights (bfloat16 halves "
                         "artifact size; detector only)")
+    p.add_argument("--pre-nms-topk", type=int, default=300,
+                   help="frozen NMS candidate budget (detector only; use "
+                        "700 for val-eval parity on crowd-dense images)")
+    p.add_argument("--max-out", type=int, default=None,
+                   help="frozen max detections per image (detector only; "
+                        "default cfg.max_boxes, use >=300 for eval parity)")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and run it on zeros")
     _add_arch(p)
@@ -490,6 +496,7 @@ def main(argv=None) -> int:
             path = export_detector_predict(
                 cfg, params, args.out, conf_thr=args.conf, iou_thr=args.iou,
                 tta=args.tta, fuse=args.fuse, batch=args.batch,
+                pre_nms_topk=args.pre_nms_topk, max_out=args.max_out,
                 params_dtype=args.params_dtype, platforms=platforms,
             )
         else:

@@ -306,7 +306,11 @@ def train_detector(
         if val_arrays is not None and bad_epochs >= cfg.patience:
             break
 
-    if ckpt:
+    # history can be empty when a resume starts past the final epoch (the
+    # run already completed and the supervisor relaunched it): nothing ran,
+    # so save nothing — overwriting 'last'/results.json with an empty run
+    # would clobber the completed artifacts and crash on history[-1]
+    if ckpt and history:
         ckpt.save("last", jax.device_get(state), {"epoch": history[-1]["epoch"]})
         (Path(save_dir) / "results.json").write_text(json.dumps(history, indent=2))
     return state, model, history

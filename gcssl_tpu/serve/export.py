@@ -113,9 +113,9 @@ def export_fn(
     """AOT-lower ``fn`` at ``arg_specs`` (which may carry symbolic dims)
     and write a self-contained artifact.  Any params referenced by closure
     are baked into the module as constants."""
-    exported = jax.export.export(jax.jit(fn), platforms=list(platforms))(
-        *arg_specs
-    )
+    exported = jax.export.export(
+        jax.jit(fn), platforms=list(platforms) if platforms else None
+    )(*arg_specs)
     meta = dict(meta)
     meta.setdefault("format", "gcssl-aot-v1")
     meta["jax_version"] = jax.__version__
@@ -161,6 +161,7 @@ def export_detector_predict(
     tta_scales: tuple[float, ...] = (),
     batch: int | None = None,
     pre_nms_topk: int = 300,
+    max_out: int | None = None,
     params_dtype: str | None = None,
     platforms: Sequence[str] | None = DEFAULT_PLATFORMS,
 ) -> Path:
@@ -171,7 +172,11 @@ def export_detector_predict(
 
     Thresholds are frozen into the artifact (they are trace-time statics in
     make_detector_predict); export one artifact per serving operating point.
-    """
+    The detection budget is frozen too: the defaults (pre_nms_topk 300,
+    max_out = cfg.max_boxes) match the pipeline predict path; for
+    crowd-dense mAP eval parity export with the eval budget used by
+    pipeline/detect.py:train_detector (pre_nms_topk=700,
+    max_out=max(300, cfg.max_boxes))."""
     from gcssl_tpu.models.detector import Detector
     from gcssl_tpu.train.detector import make_detector_predict
 
@@ -183,7 +188,8 @@ def export_detector_predict(
         dtype=dtype,
     )
     predict = make_detector_predict(
-        cfg, model, pre_nms_topk=pre_nms_topk, tta_scales=tta_scales
+        cfg, model, max_out=max_out, pre_nms_topk=pre_nms_topk,
+        tta_scales=tta_scales,
     )
     params = _cast_params(params, params_dtype)  # host constants
 
@@ -204,6 +210,7 @@ def export_detector_predict(
         "fuse": fuse,
         "tta_scales": list(tta_scales),
         "pre_nms_topk": pre_nms_topk,
+        "max_out": max_out or cfg.max_boxes,
         "batch": batch,
         "params_dtype": params_dtype,
         "inputs": "uint8 images (b, S, S, 3), letterboxed RGB",
@@ -267,7 +274,15 @@ def as_predict_fn(served: ServedModel) -> Callable:
 
     The artifact's operating point is frozen at export; ``params`` is
     ignored (baked in) and threshold/TTA arguments must match the meta —
-    a mismatch raises rather than silently serving the wrong thresholds."""
+    a mismatch raises rather than silently serving the wrong thresholds.
+
+    The detection BUDGET (pre_nms_topk / max_out in the meta) is frozen
+    too and is not expressible through this contract's arguments: an
+    artifact exported with the pipeline defaults returns fewer boxes per
+    crowd-dense image than train_detector's val-eval predict (which uses
+    pre_nms_topk=700, max_out>=300) — for mAP-eval parity, export with
+    that budget (export_detector_predict(..., pre_nms_topk=700,
+    max_out=max(300, cfg.max_boxes)))."""
     meta = served.meta
     if meta.get("kind") != "detector_predict":
         raise ValueError(f"not a detector_predict artifact: {meta.get('kind')}")

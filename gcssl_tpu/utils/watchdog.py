@@ -48,7 +48,10 @@ def newest_mtime(paths: list[str | Path]) -> float:
     for p in paths:
         p = Path(p)
         if p.is_file():
-            newest = max(newest, p.stat().st_mtime)
+            try:  # file can vanish between is_file() and stat() (logrotate)
+                newest = max(newest, p.stat().st_mtime)
+            except OSError:
+                continue
         elif p.is_dir():
             for f in p.rglob("*"):
                 try:

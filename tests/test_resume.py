@@ -41,3 +41,30 @@ class TestCalibratorResume:
         arrays = synthetic_arrays(n=24)
         _, h = train_calibrator(cfg, arrays, max_epochs=1, resume=True)
         assert [x["epoch"] for x in h] == [1]
+
+
+class TestDetectorResumePastEnd:
+    def test_relaunch_of_completed_run_is_a_noop(self, tmp_path):
+        """The watchdog relaunches completed runs (artifact-gated stages can
+        still re-enter train_detector with resume=True): a resume whose
+        start epoch is past n_epochs must return the restored state with an
+        EMPTY history and must NOT clobber 'last'/results.json."""
+        import json
+
+        import jax
+
+        from gcssl_tpu.pipeline.detect import train_detector
+        from tests.test_detector_dp import tiny_cfg
+        from tests.test_fold_parallel import synth_arrays
+
+        cfg = tiny_cfg(batch_size=4, epochs=1)
+        arrays = synth_arrays(n=4)
+        save = tmp_path / "run"
+        _, _, h1 = train_detector(cfg, arrays, None, save_dir=save)
+        assert len(h1) == 1
+        results = (save / "results.json").read_text()
+        _, _, h2 = train_detector(
+            cfg, arrays, None, save_dir=save, resume=True
+        )
+        assert h2 == []
+        assert (save / "results.json").read_text() == results

@@ -226,3 +226,41 @@ class TestCalibratorExport:
         out = np.asarray(out_s)
         assert (out[:, :2] >= 0.05 - 1e-6).all()
         assert (out[:, :2] <= 0.95 + 1e-6).all()
+
+
+class TestExportBudgetAndPlatforms:
+    def test_native_platform_none(self, tmp_path):
+        """platforms=None = native single-platform lowering (the annotated
+        default-alternative); must export and serve, with meta recording
+        None."""
+        from gcssl_tpu.train.detector import create_detector_state, eval_params
+
+        cfg = det_cfg()
+        state, _, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        p = export_detector_predict(
+            cfg, eval_params(cfg, state), tmp_path / "det_native.aot",
+            conf_thr=0.1, iou_thr=0.5, platforms=None,
+        )
+        meta, _ = read_artifact(p)
+        assert meta["platforms"] is None
+        served = ServedModel.load(p)
+        out = served(np.zeros((2, 64, 64, 3), np.uint8))
+        assert np.asarray(out[0]).shape[0] == 2
+
+    def test_meta_records_detection_budget(self, tmp_path):
+        """pre_nms_topk / max_out are frozen into the artifact; the meta
+        must record them so eval-parity mismatches are diagnosable."""
+        from gcssl_tpu.train.detector import create_detector_state, eval_params
+
+        cfg = det_cfg()
+        state, _, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        p = export_detector_predict(
+            cfg, eval_params(cfg, state), tmp_path / "det_budget.aot",
+            conf_thr=0.0, iou_thr=0.5, platforms=("cpu",),
+            pre_nms_topk=64, max_out=7,
+        )
+        meta, _ = read_artifact(p)
+        assert meta["pre_nms_topk"] == 64 and meta["max_out"] == 7
+        served = ServedModel.load(p)
+        boxes, scores, valid = served(np.zeros((2, 64, 64, 3), np.uint8))
+        assert np.asarray(boxes).shape[1] == 7  # frozen per-image budget
