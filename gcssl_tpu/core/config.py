@@ -178,6 +178,8 @@ class DetectorConfig:
     zoom_min: float = 0.5          # mosaic view zoom range (out px / canvas px)
     zoom_max: float = 1.5
     mosaic_max_boxes: int = 120    # static GT budget after mosaic compaction
+    copy_paste: float = 0.0        # per-slot probability of instance paste
+    copy_paste_n: int = 2          # paste slots per image (static shape)
 
 
 @dataclass

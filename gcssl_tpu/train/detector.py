@@ -355,6 +355,160 @@ def mosaic_batch(
     return images, boxes, mask
 
 
+def _coverage(bx, rects, rect_on):
+    """Max fraction of each ``bx`` box's area covered by any active rect.
+
+    bx: (..., M, 4) cxcywh; rects: (..., P, 4); rect_on: (..., M, P) or
+    (..., P) bool.  Returns (..., M).  Max (not sum) over rects — cheap and
+    conservative for the occlusion-drop decision."""
+    if rect_on.ndim == rects.ndim - 1:
+        rect_on = jnp.broadcast_to(
+            rect_on[..., None, :], bx.shape[:-1] + rects.shape[-2:-1]
+        )
+    ax1 = bx[..., 0] - bx[..., 2] / 2
+    ay1 = bx[..., 1] - bx[..., 3] / 2
+    ax2 = bx[..., 0] + bx[..., 2] / 2
+    ay2 = bx[..., 1] + bx[..., 3] / 2
+    rx1 = rects[..., 0] - rects[..., 2] / 2
+    ry1 = rects[..., 1] - rects[..., 3] / 2
+    rx2 = rects[..., 0] + rects[..., 2] / 2
+    ry2 = rects[..., 1] + rects[..., 3] / 2
+    iw = jnp.maximum(
+        0.0,
+        jnp.minimum(ax2[..., :, None], rx2[..., None, :])
+        - jnp.maximum(ax1[..., :, None], rx1[..., None, :]),
+    )
+    ih = jnp.maximum(
+        0.0,
+        jnp.minimum(ay2[..., :, None], ry2[..., None, :])
+        - jnp.maximum(ay1[..., :, None], ry1[..., None, :]),
+    )
+    frac = (iw * ih) / jnp.maximum(
+        (bx[..., 2] * bx[..., 3])[..., :, None], 1e-9
+    )
+    return jnp.max(jnp.where(rect_on, frac, 0.0), axis=-1)
+
+
+def paste_instances(
+    images,          # (B, S, S, 3) float in [0, 1]
+    boxes,           # (B, M, 4) normalized cxcywh
+    mask,            # (B, M) bool
+    donor,           # (B, P) int batch indices
+    src,             # (B, P, 4) source boxes on the donor images
+    dst,             # (B, P, 4) destination rects on the receiving images
+    on,              # (B, P) bool: which paste slots are active
+    occl_thr: float = 0.6,
+    max_out_boxes: int | None = None,
+):
+    """Deterministic core of :func:`copy_paste_batch`: composite each active
+    paste slot (the donor image resampled so its ``src`` box lands exactly
+    on the ``dst`` rect) in slot order, append the ``dst`` rects to the GT
+    set, and drop boxes that ended up ≥ ``occl_thr`` covered by pastes
+    drawn after them (a fully hidden person must not stay labeled)."""
+    b, s, _, c = images.shape
+    n_paste = donor.shape[1]
+
+    grid = jnp.arange(s, dtype=jnp.float32) + 0.5           # px centers
+    for k in range(n_paste):
+        d_img = images[donor[:, k]]                         # (B, S, S, 3)
+        sx1 = (src[:, k, 0] - src[:, k, 2] / 2) * s
+        sy1 = (src[:, k, 1] - src[:, k, 3] / 2) * s
+        kx = dst[:, k, 2] / jnp.maximum(src[:, k, 2], 1e-6)
+        ky = dst[:, k, 3] / jnp.maximum(src[:, k, 3], 1e-6)
+        dx1 = (dst[:, k, 0] - dst[:, k, 2] / 2) * s
+        dy1 = (dst[:, k, 1] - dst[:, k, 3] / 2) * s
+        tx = dx1 - kx * sx1
+        ty = dy1 - ky * sy1
+
+        def place(img, ky_i, kx_i, ty_i, tx_i):
+            return jax.image.scale_and_translate(
+                img, (s, s, c), (0, 1),
+                jnp.stack([ky_i, kx_i]), jnp.stack([ty_i, tx_i]),
+                method="linear", antialias=True,
+            )
+
+        pasted = jax.vmap(place)(d_img, ky, kx, ty, tx)
+        col_in = (grid[None] >= dx1[:, None]) & (
+            grid[None] < (dx1 + dst[:, k, 2] * s)[:, None]
+        )
+        row_in = (grid[None] >= dy1[:, None]) & (
+            grid[None] < (dy1 + dst[:, k, 3] * s)[:, None]
+        )
+        m2d = (row_in[:, :, None] & col_in[:, None, :]) & on[:, k, None, None]
+        images = jnp.where(m2d[..., None], pasted, images)
+
+    # original boxes: drop when covered by any active paste
+    cov = _coverage(boxes, dst, on)
+    keep = mask & (cov <= occl_thr)
+    # paste k: covered by LATER pastes only (they composite on top)
+    later = jnp.triu(jnp.ones((n_paste, n_paste), bool), k=1)   # (P, P)
+    p_on = on[:, None, :] & later[None]                          # (B, P, P)
+    pcov = _coverage(dst, dst, p_on)
+    paste_keep = on & (pcov <= occl_thr)
+
+    out_boxes = jnp.concatenate([boxes, dst], axis=1)
+    out_mask = jnp.concatenate([keep, paste_keep], axis=1)
+    if max_out_boxes is not None and max_out_boxes < out_boxes.shape[1]:
+        out_boxes, out_mask = _compact_boxes(out_boxes, out_mask, max_out_boxes)
+    return images, out_boxes, out_mask
+
+
+def copy_paste_batch(
+    rng,
+    images,          # (B, S, S, 3) float in [0, 1]
+    boxes,           # (B, M, 4) normalized cxcywh
+    mask,            # (B, M) bool
+    n_paste: int = 2,
+    prob: float = 0.5,
+    scale_range=(0.75, 1.25),
+    occl_thr: float = 0.6,
+    max_out_boxes: int | None = None,
+):
+    """Device-side box-level copy-paste: each image receives up to
+    ``n_paste`` person instances cropped from random donor images in the
+    same batch, pasted at random positions with scale jitter, and their
+    boxes appended to the GT set.
+
+    The reference gets its instance-mixing augmentation from Ultralytics'
+    mosaic/mixup stack (/root/reference/train.py:11-22); this is the
+    box-supervision variant of Ghiasi et al.'s copy-paste recast as pure
+    XLA work with static shapes: one ``scale_and_translate`` per paste slot
+    per batch, rect-mask compositing, GT occlusion accounting — no host
+    round trip.  Paste slots fire independently with probability ``prob``;
+    a slot whose donor has no usable box is a no-op."""
+    b, s, _, _ = images.shape
+    m = boxes.shape[1]
+    rs = jax.random.split(rng, 5)
+
+    donor = jax.random.randint(rs[0], (b, n_paste), 0, b)
+    donor_mask = mask[donor]                                # (B, P, M)
+    u = jax.random.uniform(rs[1], (b, n_paste, m))
+    pick = jnp.argmax(jnp.where(donor_mask, u, -1.0), axis=-1)   # (B, P)
+    has = jnp.take_along_axis(donor_mask, pick[..., None], -1)[..., 0]
+    src = boxes[donor, pick]                                # (B, P, 4)
+
+    min_wh = 2.0 / s
+    scl = jax.random.uniform(
+        rs[2], (b, n_paste), minval=scale_range[0], maxval=scale_range[1]
+    )
+    dw = jnp.clip(src[..., 2] * scl, min_wh, 0.9)
+    dh = jnp.clip(src[..., 3] * scl, min_wh, 0.9)
+    pu = jax.random.uniform(rs[3], (b, n_paste, 2))
+    dcx = dw / 2 + pu[..., 0] * (1.0 - dw)
+    dcy = dh / 2 + pu[..., 1] * (1.0 - dh)
+    dst = jnp.stack([dcx, dcy, dw, dh], axis=-1)            # (B, P, 4)
+    on = (
+        has
+        & (jax.random.uniform(rs[4], (b, n_paste)) < prob)
+        & (src[..., 2] > min_wh)
+        & (src[..., 3] > min_wh)
+    )
+    return paste_instances(
+        images, boxes, mask, donor, src, dst, on,
+        occl_thr=occl_thr, max_out_boxes=max_out_boxes,
+    )
+
+
 def affine_batch(
     rng, images, boxes, mask, zoom_range=(0.6, 1.4), translate=0.1,
     fill=0.447,
@@ -444,11 +598,17 @@ def make_detector_step_core(cfg: DetectorConfig, model, tx,
     zoom_range = (cfg.zoom_min, cfg.zoom_max)
 
     def step(state, images4_u8, boxes4, mask4, weights, lr, use_mosaic: bool = True):
-        rng, mosaic_rng, aug_rng = jax.random.split(state.rng, 3)
+        if cfg.copy_paste > 0:
+            rng, mosaic_rng, aug_rng, cp_rng = jax.random.split(state.rng, 4)
+        else:
+            rng, mosaic_rng, aug_rng = jax.random.split(state.rng, 3)
+            cp_rng = None
         if grad_axis is not None:
             shard = jax.lax.axis_index(grad_axis)
             mosaic_rng = jax.random.fold_in(mosaic_rng, shard)
             aug_rng = jax.random.fold_in(aug_rng, shard)
+            if cp_rng is not None:
+                cp_rng = jax.random.fold_in(cp_rng, shard)
         images4 = images4_u8.astype(jnp.float32) / 255.0
         if use_mosaic:
             images, boxes, mask = mosaic_batch(
@@ -459,6 +619,12 @@ def make_detector_step_core(cfg: DetectorConfig, model, tx,
             images, boxes, mask = affine_batch(
                 mosaic_rng, images4[:, 0], boxes4[:, 0], mask4[:, 0],
                 zoom_range=(0.75, 1.25),
+            )
+        if cfg.copy_paste > 0:
+            images, boxes, mask = copy_paste_batch(
+                cp_rng, images, boxes, mask,
+                n_paste=cfg.copy_paste_n, prob=cfg.copy_paste,
+                max_out_boxes=cfg.mosaic_max_boxes,
             )
         images, boxes, mask = augment_batch(aug_rng, images, boxes, mask)
 

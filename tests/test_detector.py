@@ -411,3 +411,106 @@ class TestNonPow2Width:
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
         outs = model.apply(params, jnp.zeros((2, 128, 128, 3)))
         assert len(outs) == 3
+
+
+class TestCopyPaste:
+    def test_prob_zero_is_identity(self):
+        from gcssl_tpu.train.detector import copy_paste_batch
+
+        rng = np.random.default_rng(3)
+        imgs = jnp.asarray(rng.uniform(0, 1, (3, 32, 32, 3)), jnp.float32)
+        boxes = jnp.tile(jnp.asarray([0.5, 0.5, 0.3, 0.3]), (3, 2, 1))
+        mask = jnp.ones((3, 2), bool)
+        out, nb, nm = copy_paste_batch(
+            jax.random.PRNGKey(0), imgs, boxes, mask, n_paste=2, prob=0.0
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
+        np.testing.assert_array_equal(np.asarray(nb[:, :2]), np.asarray(boxes))
+        assert np.asarray(nm[:, :2]).all() and not np.asarray(nm[:, 2:]).any()
+
+    def test_paste_pixels_and_box(self):
+        """Donor 0 is solid red; pasting its box onto image 1 must paint
+        exactly the destination rect red and append that rect as GT."""
+        from gcssl_tpu.train.detector import paste_instances
+
+        s = 32
+        imgs = jnp.stack([
+            jnp.full((s, s, 3), jnp.asarray([1.0, 0.0, 0.0])),
+            jnp.zeros((s, s, 3)),
+        ])
+        boxes = jnp.asarray([
+            [[0.5, 0.5, 0.5, 0.5]],
+            [[0.25, 0.25, 0.2, 0.2]],
+        ], jnp.float32)
+        mask = jnp.ones((2, 1), bool)
+        donor = jnp.asarray([[0], [0]], jnp.int32)
+        src = jnp.tile(jnp.asarray([0.5, 0.5, 0.5, 0.5]), (2, 1, 1))
+        # integer-aligned dest rect on image 1: px [16,24) x [16,24)
+        dst = jnp.tile(jnp.asarray([0.625, 0.625, 0.25, 0.25]), (2, 1, 1))
+        on = jnp.asarray([[False], [True]])
+        out, nb, nm = paste_instances(imgs, boxes, mask, donor, src, dst, on)
+        out = np.asarray(out)
+        np.testing.assert_array_equal(out[0], np.asarray(imgs[0]))  # off slot
+        np.testing.assert_allclose(
+            out[1, 16:24, 16:24], np.tile([1.0, 0.0, 0.0], (8, 8, 1)),
+            atol=1e-5,
+        )
+        assert np.abs(out[1, :16]).max() == 0 and np.abs(out[1, :, :16]).max() == 0
+        nb, nm = np.asarray(nb), np.asarray(nm)
+        assert nm[1, 0] and nm[1, 1] and not nm[0, 1]
+        np.testing.assert_allclose(nb[1, 1], [0.625, 0.625, 0.25, 0.25])
+
+    def test_occluded_gt_dropped(self):
+        """A GT box fully under an active paste rect loses its label; a
+        barely-touched one keeps it."""
+        from gcssl_tpu.train.detector import paste_instances
+
+        s = 32
+        imgs = jnp.zeros((2, s, s, 3))
+        boxes = jnp.asarray([
+            [[0.25, 0.25, 0.2, 0.2], [0.8, 0.8, 0.15, 0.15]],
+            [[0.25, 0.25, 0.2, 0.2], [0.8, 0.8, 0.15, 0.15]],
+        ], jnp.float32)
+        mask = jnp.ones((2, 2), bool)
+        donor = jnp.zeros((2, 1), jnp.int32)
+        src = jnp.tile(jnp.asarray([0.5, 0.5, 0.5, 0.5]), (2, 1, 1))
+        dst = jnp.tile(jnp.asarray([0.25, 0.25, 0.5, 0.5]), (2, 1, 1))
+        on = jnp.asarray([[True], [False]])
+        _, nb, nm = paste_instances(imgs, boxes, mask, donor, src, dst, on)
+        nm = np.asarray(nm)
+        assert not nm[0, 0]          # fully covered -> dropped
+        assert nm[0, 1]              # untouched -> kept
+        assert nm[1, 0] and nm[1, 1] # paste off -> both kept
+        assert nm[0, 2] and not nm[1, 2]
+
+    def test_later_paste_occludes_earlier(self):
+        from gcssl_tpu.train.detector import paste_instances
+
+        s = 32
+        imgs = jnp.zeros((1, s, s, 3))
+        boxes = jnp.asarray([[[0.5, 0.5, 0.9, 0.9]]], jnp.float32)
+        mask = jnp.zeros((1, 1), bool)   # no real GT
+        donor = jnp.zeros((1, 2), jnp.int32)
+        src = jnp.tile(jnp.asarray([0.5, 0.5, 0.5, 0.5]), (1, 2, 1))
+        dst = jnp.asarray(
+            [[[0.5, 0.5, 0.2, 0.2], [0.5, 0.5, 0.4, 0.4]]], jnp.float32
+        )
+        on = jnp.ones((1, 2), bool)
+        _, _, nm = paste_instances(imgs, boxes, mask, donor, src, dst, on)
+        nm = np.asarray(nm)
+        assert not nm[0, 1]   # paste 0 fully under paste 1
+        assert nm[0, 2]       # paste 1 on top survives
+
+    def test_train_step_with_copy_paste(self):
+        cfg = small_cfg(copy_paste=0.5, img_size=64, mosaic_max_boxes=8)
+        state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(0))
+        step = make_detector_train_step(cfg, model, tx)
+        rng = np.random.default_rng(5)
+        im4 = jnp.asarray(rng.integers(0, 255, (2, 4, 64, 64, 3)), jnp.uint8)
+        b4 = jnp.tile(jnp.asarray([0.5, 0.5, 0.4, 0.4], jnp.float32), (2, 4, 2, 1))
+        m4 = jnp.ones((2, 4, 2), bool)
+        w = jnp.ones((2,), jnp.float32)
+        state, met = step(state, im4, b4, m4, w, jnp.float32(1e-3), use_mosaic=True)
+        assert np.isfinite(float(met["loss"]))
+        state, met = step(state, im4, b4, m4, w, jnp.float32(1e-3), use_mosaic=False)
+        assert np.isfinite(float(met["loss"]))
