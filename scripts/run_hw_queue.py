@@ -1,0 +1,60 @@
+"""Serial hardware work queue for unattended TPU time (resume-safe).
+
+Usage: python scripts/run_hw_queue.py
+
+Runs the session's hardware stages in priority order.  Each stage is
+skipped when its marker file exists; a stage whose natural artifact is its
+marker (e.g. the loop chain's loop_result.json) self-gates, while plain
+commands get a ``.queue_done`` marker written by this script after a clean
+exit.  Every stage command is itself resume-safe (checkpoint resume /
+artifact-gated sub-stages), so the queue can be killed and relaunched at
+any point — run it under ``gcssl_tpu.utils.watchdog`` with ``--probe`` so
+TPU-tunnel outages park the queue instead of burning restarts.
+"""
+
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+M_CP = [
+    "init_from=runs/mae_11k_m/backbone.msgpack",
+    "width_mult=0.75", "depth_mult=0.67", "batch_size=16", "lr=5e-4",
+    "epochs=300", "patience=50", "resume=1",
+]
+
+STAGES = [
+    # 1. finish the in-flight SSL loop chain (loop_m retrain -> loop_m2)
+    ("runs/loop_m2/loop_result.json",
+     [sys.executable, "scripts/run_loop_chain.py", "runs/loop_m",
+      "runs/loop_m2"]),
+    # 2. copy-paste A/B: the det_m_mae teacher recipe + copy_paste=0.5
+    #    (baseline: runs/det_m_mae best 0.5365 val mAP50)
+    ("runs/det_m_cp/.queue_done",
+     [sys.executable, "scripts/train_det_v2.py", "runs/det_m_cp",
+      *M_CP, "copy_paste=0.5"]),
+]
+
+
+def main() -> int:
+    for marker, argv in STAGES:
+        mpath = ROOT / marker
+        if mpath.exists():
+            print(f"[queue] skip (done): {marker}", flush=True)
+            continue
+        print(f"[queue] run: {' '.join(argv[1:])}", flush=True)
+        rc = subprocess.run(argv, cwd=ROOT).returncode
+        if rc != 0:
+            print(f"[queue] stage FAILED rc={rc}: {marker}", flush=True)
+            return rc
+        if marker.endswith(".queue_done"):
+            mpath.parent.mkdir(parents=True, exist_ok=True)
+            mpath.write_text(time.strftime("%Y-%m-%dT%H:%M:%S"))
+    print("[queue] all stages done", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
