@@ -59,6 +59,13 @@ def _add_train_detector(sub):
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel devices (1-D 'data' mesh, exact "
                         "full-batch updates; batch-size must divide by it)")
+    p.add_argument("--copy-paste", type=float, default=0.0,
+                   help="per-slot probability of device-side instance "
+                        "copy-paste augmentation (0 = off)")
+    p.add_argument("--aug-dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="augmentation compute dtype (bfloat16 halves "
+                        "aug-stage HBM traffic)")
     _add_arch(p)
 
 
@@ -266,7 +273,7 @@ def _detector_cfg(args):
 
     kw = {}
     for name in ("img_size", "epochs", "batch_size", "patience", "lr",
-                 "width_mult", "depth_mult"):
+                 "width_mult", "depth_mult", "copy_paste", "aug_dtype"):
         if hasattr(args, name):
             kw[name] = getattr(args, name)
     return DetectorConfig(**kw)

@@ -234,12 +234,15 @@ def augment_batch(rng, images, boxes, mask):
     fboxes = boxes.at[..., 0].set(1.0 - boxes[..., 0])
     boxes = jnp.where(flip[:, None, None], fboxes, boxes)
 
-    gain = jax.random.uniform(r2, (b, 1, 1, 1), minval=0.7, maxval=1.3)
+    # random gains follow the image dtype so a bf16 aug pipeline
+    # (cfg.aug_dtype) is not silently promoted back to f32
+    dt = images.dtype
+    gain = jax.random.uniform(r2, (b, 1, 1, 1), minval=0.7, maxval=1.3).astype(dt)
     images = images * gain
-    sat = jax.random.uniform(r3, (b, 1, 1, 1), minval=0.7, maxval=1.3)
+    sat = jax.random.uniform(r3, (b, 1, 1, 1), minval=0.7, maxval=1.3).astype(dt)
     gray = jnp.mean(images, axis=-1, keepdims=True)
     images = gray + sat * (images - gray)
-    con = jax.random.uniform(r4, (b, 1, 1, 1), minval=0.8, maxval=1.2)
+    con = jax.random.uniform(r4, (b, 1, 1, 1), minval=0.8, maxval=1.2).astype(dt)
     mean = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
     images = jnp.clip(mean + con * (images - mean), 0.0, 1.0)
     return images, boxes, mask
@@ -596,6 +599,9 @@ def make_detector_step_core(cfg: DetectorConfig, model, tx,
     ``state.rng`` update stays shard-invariant."""
 
     zoom_range = (cfg.zoom_min, cfg.zoom_max)
+    aug_dtype = (
+        jnp.bfloat16 if cfg.aug_dtype == "bfloat16" else jnp.float32
+    )
 
     def step(state, images4_u8, boxes4, mask4, weights, lr, use_mosaic: bool = True):
         if cfg.copy_paste > 0:
@@ -609,7 +615,9 @@ def make_detector_step_core(cfg: DetectorConfig, model, tx,
             aug_rng = jax.random.fold_in(aug_rng, shard)
             if cp_rng is not None:
                 cp_rng = jax.random.fold_in(cp_rng, shard)
-        images4 = images4_u8.astype(jnp.float32) / 255.0
+        # aug pipeline (mosaic resamples, photometric) in cfg.aug_dtype;
+        # box math stays f32 (boxes4/mask4 untouched by the dtype choice)
+        images4 = images4_u8.astype(aug_dtype) / jnp.asarray(255.0, aug_dtype)
         if use_mosaic:
             images, boxes, mask = mosaic_batch(
                 mosaic_rng, images4, boxes4, mask4,

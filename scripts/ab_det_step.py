@@ -75,6 +75,10 @@ def main():
         ("base16", dict(batch_size=16)),
         ("base32", dict(batch_size=32)),
         ("no_mosaic", dict(batch_size=16, mosaic=False)),
+        ("aug_bf16", dict(batch_size=16, aug_dtype="bfloat16")),
+        ("copy_paste", dict(batch_size=16, copy_paste=0.5)),
+        ("aug_bf16_cp", dict(batch_size=16, aug_dtype="bfloat16",
+                             copy_paste=0.5)),
     ]
     for name, kw in variants:
         results[name] = measure(kw)

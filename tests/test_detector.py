@@ -514,3 +514,29 @@ class TestCopyPaste:
         assert np.isfinite(float(met["loss"]))
         state, met = step(state, im4, b4, m4, w, jnp.float32(1e-3), use_mosaic=False)
         assert np.isfinite(float(met["loss"]))
+
+
+class TestAugDtype:
+    def test_bf16_aug_pipeline_step(self):
+        """aug_dtype=bfloat16 keeps the whole aug stage in bf16 (no silent
+        f32 promotion) and the train step stays finite."""
+        from gcssl_tpu.train.detector import augment_batch
+
+        imgs = jnp.ones((2, 16, 16, 3), jnp.bfloat16) * 0.5
+        out, _, _ = augment_batch(
+            jax.random.PRNGKey(0), imgs,
+            jnp.zeros((2, 1, 4)), jnp.zeros((2, 1), bool),
+        )
+        assert out.dtype == jnp.bfloat16
+
+        cfg = small_cfg(aug_dtype="bfloat16", img_size=64, copy_paste=0.5,
+                        mosaic_max_boxes=8)
+        state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(0))
+        step = make_detector_train_step(cfg, model, tx)
+        rng = np.random.default_rng(6)
+        im4 = jnp.asarray(rng.integers(0, 255, (2, 4, 64, 64, 3)), jnp.uint8)
+        b4 = jnp.tile(jnp.asarray([0.5, 0.5, 0.4, 0.4], jnp.float32), (2, 4, 2, 1))
+        m4 = jnp.ones((2, 4, 2), bool)
+        w = jnp.ones((2,), jnp.float32)
+        state, met = step(state, im4, b4, m4, w, jnp.float32(1e-3), use_mosaic=True)
+        assert np.isfinite(float(met["loss"]))
