@@ -359,11 +359,14 @@ def mosaic_batch(
 
 
 def _coverage(bx, rects, rect_on):
-    """Max fraction of each ``bx`` box's area covered by any active rect.
+    """Upper-bound fraction of each ``bx`` box's area covered by the active
+    rects (sum of per-rect covered fractions, clipped to 1 — an upper bound
+    on the union when rects overlap each other).
 
     bx: (..., M, 4) cxcywh; rects: (..., P, 4); rect_on: (..., M, P) or
-    (..., P) bool.  Returns (..., M).  Max (not sum) over rects — cheap and
-    conservative for the occlusion-drop decision."""
+    (..., P) bool.  Returns (..., M).  For the occlusion-drop decision the
+    upper bound errs toward dropping: losing a partially-visible label is
+    milder than keeping a label on a fully-hidden person."""
     if rect_on.ndim == rects.ndim - 1:
         rect_on = jnp.broadcast_to(
             rect_on[..., None, :], bx.shape[:-1] + rects.shape[-2:-1]
@@ -389,7 +392,7 @@ def _coverage(bx, rects, rect_on):
     frac = (iw * ih) / jnp.maximum(
         (bx[..., 2] * bx[..., 3])[..., :, None], 1e-9
     )
-    return jnp.max(jnp.where(rect_on, frac, 0.0), axis=-1)
+    return jnp.minimum(jnp.sum(jnp.where(rect_on, frac, 0.0), axis=-1), 1.0)
 
 
 def paste_instances(
@@ -407,13 +410,24 @@ def paste_instances(
     paste slot (the donor image resampled so its ``src`` box lands exactly
     on the ``dst`` rect) in slot order, append the ``dst`` rects to the GT
     set, and drop boxes that ended up ≥ ``occl_thr`` covered by pastes
-    drawn after them (a fully hidden person must not stay labeled)."""
+    drawn after them (a fully hidden person must not stay labeled).
+
+    Active slots are additionally gated by the ``max_out_boxes`` budget:
+    a paste whose box would not survive compaction must not paint pixels
+    either (an unlabeled pasted person is false-negative supervision)."""
     b, s, _, c = images.shape
     n_paste = donor.shape[1]
 
+    if max_out_boxes is not None:
+        n_valid = jnp.sum(mask, axis=1)                     # (B,)
+        slot = jnp.arange(n_paste)[None, :]
+        on = on & ((n_valid[:, None] + slot) < max_out_boxes)
+
+    orig = images  # donors come from the pre-paste batch: slot k must not
+    # composite content that slots <k already pasted onto its donor
     grid = jnp.arange(s, dtype=jnp.float32) + 0.5           # px centers
     for k in range(n_paste):
-        d_img = images[donor[:, k]]                         # (B, S, S, 3)
+        d_img = orig[donor[:, k]]                           # (B, S, S, 3)
         sx1 = (src[:, k, 0] - src[:, k, 2] / 2) * s
         sy1 = (src[:, k, 1] - src[:, k, 3] / 2) * s
         kx = dst[:, k, 2] / jnp.maximum(src[:, k, 2], 1e-6)

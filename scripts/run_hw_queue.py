@@ -26,6 +26,12 @@ M_CP = [
 ]
 
 STAGES = [
+    # 0. real-data SSL classification (sklearn digits) — minutes on-chip
+    ("runs/ssl_digits_real/results.json",
+     [sys.executable, "scripts/run_ssl_digits.py"]),
+    # 0b. detector train-step throughput A/B (minutes on-chip)
+    ("runs/det_m_mae/ab_step.json",
+     [sys.executable, "scripts/ab_det_step.py"]),
     # 1. finish the in-flight SSL loop chain (loop_m retrain -> loop_m2)
     ("runs/loop_m2/loop_result.json",
      [sys.executable, "scripts/run_loop_chain.py", "runs/loop_m",
@@ -39,6 +45,7 @@ STAGES = [
 
 
 def main() -> int:
+    failed = []
     for marker, argv in STAGES:
         mpath = ROOT / marker
         if mpath.exists():
@@ -47,11 +54,18 @@ def main() -> int:
         print(f"[queue] run: {' '.join(argv[1:])}", flush=True)
         rc = subprocess.run(argv, cwd=ROOT).returncode
         if rc != 0:
+            # keep going: a persistently-failing early stage must not starve
+            # the later ones (the watchdog relaunches the whole queue, so a
+            # transiently-failing stage still gets retried every cycle)
             print(f"[queue] stage FAILED rc={rc}: {marker}", flush=True)
-            return rc
+            failed.append(marker)
+            continue
         if marker.endswith(".queue_done"):
             mpath.parent.mkdir(parents=True, exist_ok=True)
             mpath.write_text(time.strftime("%Y-%m-%dT%H:%M:%S"))
+    if failed:
+        print(f"[queue] finished with failures: {failed}", flush=True)
+        return 1
     print("[queue] all stages done", flush=True)
     return 0
 

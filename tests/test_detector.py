@@ -540,3 +540,56 @@ class TestAugDtype:
         w = jnp.ones((2,), jnp.float32)
         state, met = step(state, im4, b4, m4, w, jnp.float32(1e-3), use_mosaic=True)
         assert np.isfinite(float(met["loss"]))
+
+    def test_donor_content_is_pre_paste(self):
+        """Slot k's donor pixels come from the ORIGINAL batch, not from
+        images already mutated by slots < k (review finding r2)."""
+        from gcssl_tpu.train.detector import paste_instances
+
+        s = 32
+        red = jnp.full((s, s, 3), jnp.asarray([1.0, 0.0, 0.0]))
+        black = jnp.zeros((s, s, 3))
+        imgs = jnp.stack([red, black])
+        boxes = jnp.tile(jnp.asarray([0.5, 0.5, 0.25, 0.25]), (2, 1, 1))
+        mask = jnp.ones((2, 1), bool)
+        donor = jnp.asarray([[0, 1], [0, 1]], jnp.int32)
+        # slot 0: red center of img0 -> center of img1 (paints it red)
+        # slot 1: that SAME center region of img1 -> corner of img0
+        src = jnp.tile(jnp.asarray([0.5, 0.5, 0.25, 0.25]), (2, 2, 1))
+        dst = jnp.tile(
+            jnp.asarray([[0.5, 0.5, 0.25, 0.25], [0.875, 0.875, 0.25, 0.25]]),
+            (2, 1, 1),
+        )
+        on = jnp.asarray([[False, True], [True, False]])
+        out, _, _ = paste_instances(imgs, boxes, mask, donor, src, dst, on)
+        out = np.asarray(out)
+        # img1 center got slot-0's red paste
+        np.testing.assert_allclose(
+            out[1, 14:18, 14:18], np.tile([1.0, 0.0, 0.0], (4, 4, 1)), atol=1e-5
+        )
+        # img0 corner got slot-1's paste of img1's center — the ORIGINAL
+        # black pixels, not the red that slot 0 painted there
+        assert np.abs(out[0, 28:32, 28:32]).max() < 1e-5
+
+    def test_budget_gate_blocks_paste_pixels(self):
+        """When the GT budget is already full, gated-off pastes must not
+        paint pixels either (review finding r2)."""
+        from gcssl_tpu.train.detector import paste_instances
+
+        s = 32
+        imgs = jnp.stack([
+            jnp.full((s, s, 3), 0.9),
+            jnp.zeros((s, s, 3)),
+        ])
+        m = 3  # budget == current valid count -> no room for pastes
+        boxes = jnp.tile(jnp.asarray([0.3, 0.3, 0.1, 0.1]), (2, m, 1))
+        mask = jnp.ones((2, m), bool)
+        donor = jnp.zeros((2, 1), jnp.int32)
+        src = jnp.tile(jnp.asarray([0.5, 0.5, 0.5, 0.5]), (2, 1, 1))
+        dst = jnp.tile(jnp.asarray([0.75, 0.75, 0.25, 0.25]), (2, 1, 1))
+        on = jnp.ones((2, 1), bool)
+        out, nb, nm = paste_instances(
+            imgs, boxes, mask, donor, src, dst, on, max_out_boxes=m
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
+        assert np.asarray(nm).sum() == 2 * m  # originals only
