@@ -46,7 +46,7 @@ class SSLTrainState(struct.PyTreeNode):
 
 def create_ssl_state(cfg: SSLClassifierConfig, rng: jax.Array):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    channels = 1 if cfg.dataset == "mnist" else 3
+    channels = 1 if cfg.dataset in ("mnist", "digits") else 3
     g_model = DCGANGenerator(
         img_size=cfg.img_size, channels=channels, base=cfg.g_base, dtype=dtype
     )
