@@ -222,7 +222,33 @@ def bench_served(extras: dict) -> None:
     extras["served_infer_imgs_per_sec"] = round(n_steps * b / dt, 1)
 
 
+def _device_link_alive(timeout_s: float = 300.0) -> bool:
+    """Probe the device in a killable subprocess: jax.devices() hangs
+    forever in-process when the axon TPU tunnel is down (observed
+    multi-hour outages), and a bench that never prints is worse than one
+    that fails fast."""
+    import subprocess
+    import sys
+
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=timeout_s,
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _device_link_alive():
+        import sys
+
+        print("bench: device link down (probe timed out); not benching",
+              file=sys.stderr)
+        raise SystemExit(2)
     extras: dict = {}
     imgs_per_sec, _ = bench_calibrator(extras)
     try:
