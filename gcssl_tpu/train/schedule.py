@@ -29,10 +29,13 @@ class ReduceLROnPlateau:
         self.lr = self.initial_lr
 
     def _is_better(self, metric: float) -> bool:
-        # torch mode='max', threshold_mode='rel'
+        # torch mode='max', threshold_mode='rel': a > best * (1 + threshold).
+        # NOT best + thr*|best| — for negative best torch RELAXES the bar
+        # (best*(1+thr) is more negative), and delta_iou is routinely
+        # negative early in training.
         if self.best == float("-inf"):
             return True
-        return metric > self.best + self.threshold * abs(self.best)
+        return metric > self.best * (1.0 + self.threshold)
 
     def step(self, metric: float) -> float:
         """Feed the epoch metric; returns the (possibly reduced) LR."""

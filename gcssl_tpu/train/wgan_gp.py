@@ -625,7 +625,7 @@ def train_calibrator(
         delta_iou = mean_iou_after - mean_iou_before
 
         # sample grids (reference: first batch of every 10th epoch, :377)
-        if tcfg.sample_every_epochs and epoch % tcfg.sample_every_epochs == 1:
+        if tcfg.sample_every_epochs and (epoch - 1) % tcfg.sample_every_epochs == 0:
             sidx = (
                 jax.device_put(jnp.asarray(train_idx[:4].astype(np.int32)), repl)
                 if len(train_idx) >= 4 else None

@@ -158,3 +158,15 @@ class TestReleaseWeights:
         assert blob[:2] == b"\x1f\x8b"
         raw = serialization.msgpack_restore(gzip.decompress(blob))
         assert "params" in raw and leaf_path in raw["params"]
+
+
+def test_plateau_rel_threshold_matches_torch_for_negative_best():
+    """torch mode='max' threshold_mode='rel': a > best*(1+thr) — for a
+    negative best the bar RELAXES (review finding r2)."""
+    from gcssl_tpu.train.schedule import ReduceLROnPlateau
+
+    s = ReduceLROnPlateau(initial_lr=1.0, patience=0, threshold=1e-4)
+    s.step(-0.1)                     # establishes best=-0.1
+    # torch accepts anything > -0.1 * (1 + 1e-4) = -0.10001
+    assert s._is_better(-0.100005)   # inside the relaxed band
+    assert not s._is_better(-0.100011)
