@@ -19,8 +19,14 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 
+# run checkpoints are gitignored and do not survive workspace resets;
+# fall back to the git-tracked release backbone (core/release.py)
+_MAE_M = ("runs/mae_11k_m/backbone.msgpack"
+          if (ROOT / "runs/mae_11k_m/backbone.msgpack").exists()
+          else "weights/mae_backbone_m.msgpack.gz")
+
 M_CP = [
-    "init_from=runs/mae_11k_m/backbone.msgpack",
+    f"init_from={_MAE_M}",
     "width_mult=0.75", "depth_mult=0.67", "batch_size=16", "lr=5e-4",
     "epochs=300", "patience=50", "resume=1",
 ]

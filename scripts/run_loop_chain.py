@@ -19,16 +19,28 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 
+
+def _fallback(primary: str, release: str) -> str:
+    """Prefer the live run artifact; fall back to the git-tracked release
+    weights (run checkpoints are gitignored and do not survive workspace
+    resets — core/release.py)."""
+    return primary if (ROOT / primary).exists() else release
+
+
 M_SCALE = [
     "labels_src=raw",
-    "init_from=runs/mae_11k_m/backbone.msgpack",
+    "init_from=" + _fallback("runs/mae_11k_m/backbone.msgpack",
+                             "weights/mae_backbone_m.msgpack.gz"),
     "width_mult=0.75",
     "depth_mult=0.67",
     "batch_size=16",
     "lr=5e-4",
     "retrain_epochs=300",
 ]
-FIRST_TEACHER = "runs/det_m_mae"
+FIRST_TEACHER = _fallback("runs/det_m_mae/best.msgpack",
+                          "weights/detector_m_mae.msgpack.gz")
+if FIRST_TEACHER.endswith("best.msgpack"):
+    FIRST_TEACHER = "runs/det_m_mae"  # checkpoint-dir form
 
 
 def main() -> int:
