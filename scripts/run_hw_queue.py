@@ -51,6 +51,14 @@ STAGES = [
 
 
 def main() -> int:
+    # advertise our pid so bench.py can SIGSTOP this tree during its
+    # timed measurements (two processes sharing the one chip would halve
+    # the recorded throughput); see bench._paused_queue
+    import os
+
+    pidfile = ROOT / "runs" / ".hw_queue.pid"
+    pidfile.parent.mkdir(parents=True, exist_ok=True)
+    pidfile.write_text(str(os.getpid()))
     failed = []
     for marker, argv in STAGES:
         mpath = ROOT / marker
@@ -69,6 +77,7 @@ def main() -> int:
         if marker.endswith(".queue_done"):
             mpath.parent.mkdir(parents=True, exist_ok=True)
             mpath.write_text(time.strftime("%Y-%m-%dT%H:%M:%S"))
+    pidfile.unlink(missing_ok=True)
     if failed:
         print(f"[queue] finished with failures: {failed}", flush=True)
         return 1
