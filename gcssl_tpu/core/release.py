@@ -23,16 +23,29 @@ import jax
 from flax import serialization
 
 
-def save_release(params: Any, out_path: str | Path, metadata: dict | None = None) -> Path:
-    """Write {"meta": json-str, "params": pytree} as gzipped msgpack."""
+def save_release(params: Any, out_path: str | Path, metadata: dict | None = None,
+                 compresslevel: int = 6, dtype=None) -> Path:
+    """Write {"meta": json-str, "params": pytree} as gzipped msgpack.
+
+    ``dtype`` (e.g. jnp.bfloat16) casts float leaves before writing —
+    halves in-training snapshot size/time; consumers cast back on load."""
+    import numpy as np
+
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
+    params = jax.device_get(params)
+    if dtype is not None:
+        params = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            params,
+        )
     payload = {
         "meta": json.dumps(metadata or {}, default=str),
-        "params": jax.device_get(params),
+        "params": params,
     }
     tmp = out_path.with_suffix(".tmp")
-    with gzip.open(tmp, "wb", compresslevel=6) as f:
+    with gzip.open(tmp, "wb", compresslevel=compresslevel) as f:
         f.write(serialization.to_bytes(payload))
     tmp.replace(out_path)
     return out_path

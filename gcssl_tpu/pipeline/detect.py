@@ -145,6 +145,8 @@ def train_detector(
     resume: bool = False,
     init_from: str | Path | None = None,
     dp: int = 1,
+    release_path: str | Path | None = None,
+    release_min_s: float = 900.0,
 ):
     """Epoch loop with warmup+cosine LR and early stop on val mAP50
     (patience from config, mirroring Ultralytics' patience=20).
@@ -157,7 +159,16 @@ def train_detector(
     mesh, parallel/data_parallel.py:make_detector_dp_step — exact full-batch
     updates via in-loss psum'd normalizers).  The image/box stores are kept
     replicated so each device gathers its mosaic sources locally; only the
-    gradient all-reduce rides ICI."""
+    gradient all-reduce rides ICI.
+
+    ``release_path``: when set, a params-only bf16 release snapshot
+    (core/release.py) is written there whenever val mAP50 improves, at most
+    every ``release_min_s`` seconds — full train-state checkpoints are
+    gitignored and do not survive workspace resets, so long unattended runs
+    need a git-trackable progress artifact."""
+    import time as _time
+
+    from gcssl_tpu.core.release import save_release
     from gcssl_tpu.core.checkpoint import CheckpointManager
 
     state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(cfg.seed))
@@ -180,7 +191,10 @@ def train_detector(
                         merged[k], u = graft(v, sub[k])
                         used += u
                     elif np.shape(v) == np.shape(sub[k]):
-                        merged[k] = jnp.asarray(sub[k])
+                        # cast to the fresh state's dtype: bf16 release
+                        # snapshots must not leak half precision into an
+                        # f32 train state (optimizer was built for f32)
+                        merged[k] = jnp.asarray(sub[k], dtype=np.asarray(v).dtype)
                         used += 1
                     else:
                         merged[k] = v
@@ -243,6 +257,7 @@ def train_detector(
     ckpt = CheckpointManager(save_dir) if save_dir else None
     history = []
     best_map50, bad_epochs = -1.0, 0
+    last_release = _time.monotonic()
     start_epoch = 1
     if resume and ckpt and ckpt.exists("last"):
         state = ckpt.restore("last", jax.device_get(state))
@@ -296,6 +311,19 @@ def train_detector(
                 if ckpt:
                     ckpt.save("best", jax.device_get(state),
                               {"epoch": epoch, "map50": m.map50})
+                if release_path and (
+                    _time.monotonic() - last_release >= release_min_s
+                ):
+                    save_release(
+                        jax.device_get(eval_params),
+                        release_path,
+                        {"kind": "detector", "epoch": epoch,
+                         "map50": m.map50, "snapshot": True,
+                         "width_mult": cfg.width_mult,
+                         "depth_mult": cfg.depth_mult},
+                        compresslevel=1, dtype=jnp.bfloat16,
+                    )
+                    last_release = _time.monotonic()
             else:
                 bad_epochs += 1
         history.append(rec)
@@ -313,6 +341,16 @@ def train_detector(
     if ckpt and history:
         ckpt.save("last", jax.device_get(state), {"epoch": history[-1]["epoch"]})
         (Path(save_dir) / "results.json").write_text(json.dumps(history, indent=2))
+    if release_path and ckpt and history and ckpt.exists("best"):
+        # final snapshot of the run's best (the throttle above may have
+        # skipped the last improvement)
+        from gcssl_tpu.core.release import export_detector
+
+        export_detector(
+            save_dir, release_path, cfg,
+            extra_meta={"width_mult": cfg.width_mult,
+                        "depth_mult": cfg.depth_mult},
+        )
     return state, model, history
 
 

@@ -70,6 +70,7 @@ def retrain_on_merged(
     max_epochs: int | None = None,
     init_from: str | Path | None = None,
     resume: bool = False,
+    release_path: str | Path | None = None,
 ):
     """Train a fresh detector on the merged set (the reference's 'retrain,
     loop' step)."""
@@ -78,5 +79,5 @@ def retrain_on_merged(
     return train_detector(
         cfg, train_arrays, val_arrays,
         save_dir=save_dir, log_fn=log_fn, max_epochs=max_epochs,
-        init_from=init_from, resume=resume,
+        init_from=init_from, resume=resume, release_path=release_path,
     )

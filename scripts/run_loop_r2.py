@@ -221,6 +221,9 @@ def main():
         state2, _, hist = retrain_on_merged(
             rcfg, merged_dir, DATA / "val", retrain_dir,
             log_fn=log_fn, init_from=init_from, resume=True,
+            # bf16 progress snapshots on best improvement: the full train
+            # state is gitignored and dies with the workspace
+            release_path=Path("weights") / f"detector_{work.name}.msgpack.gz",
         )
         best = max(hist, key=lambda r: r.get("map50", -1))
         best_map50 = best.get("map50")

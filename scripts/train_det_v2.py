@@ -63,9 +63,13 @@ def main():
     state, model, history = train_detector(
         cfg, train, val, save_dir=save_dir, log_fn=log_fn,
         resume=resume, init_from=init_from,
+        # bf16 progress snapshots: full train states are gitignored and
+        # die with the workspace (core/release.py)
+        release_path=Path("weights") / f"detector_{save_dir.name}.msgpack.gz",
     )
-    best = max(history, key=lambda r: r.get("map50", -1))
-    say(f"BEST map50 {best.get('map50'):.4f} @ep{best['epoch']}")
+    if history:
+        best = max(history, key=lambda r: r.get("map50", -1))
+        say(f"BEST map50 {best.get('map50'):.4f} @ep{best['epoch']}")
 
 
 if __name__ == "__main__":

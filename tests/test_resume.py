@@ -68,3 +68,59 @@ class TestDetectorResumePastEnd:
         )
         assert h2 == []
         assert (save / "results.json").read_text() == results
+
+
+class TestReleaseSnapshots:
+    """Params-only release snapshots during long runs (core/release.py):
+    run checkpoints are gitignored and die with the workspace; the
+    git-tracked snapshot is the recovery artifact."""
+
+    def test_trainer_writes_release_on_best(self, tmp_path):
+        from gcssl_tpu.core.release import load_release
+        from gcssl_tpu.pipeline.detect import train_detector
+        from tests.test_detector_dp import tiny_cfg
+        from tests.test_fold_parallel import synth_arrays
+
+        cfg = tiny_cfg(batch_size=4, epochs=2, ema_decay=0.9)
+        rel = tmp_path / "w" / "det.msgpack.gz"
+        train_detector(
+            cfg, synth_arrays(n=4), synth_arrays(n=4, seed=1),
+            save_dir=tmp_path / "run", release_path=rel, release_min_s=0.0,
+        )
+        assert rel.exists()
+        params, meta = load_release(rel)
+        assert meta["kind"] == "detector"
+        assert meta["width_mult"] == cfg.width_mult
+        assert "map50" in meta
+        assert jax.tree.leaves(params)
+
+    def test_bf16_snapshot_grafts_back_to_f32_state(self, tmp_path):
+        import jax.numpy as jnp
+
+        from gcssl_tpu.core.release import load_release, save_release
+        from gcssl_tpu.pipeline.detect import train_detector
+        from gcssl_tpu.train.detector import create_detector_state
+        from tests.test_detector_dp import tiny_cfg
+        from tests.test_fold_parallel import synth_arrays
+
+        cfg = tiny_cfg(batch_size=4, epochs=1)
+        state, _, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        rel = tmp_path / "snap.msgpack.gz"
+        save_release(state.params, rel, {"kind": "detector"},
+                     compresslevel=1, dtype=jnp.bfloat16)
+        params, _ = load_release(rel)
+        assert all(
+            np.asarray(x).dtype == jnp.bfloat16
+            for x in jax.tree.leaves(params)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+        )
+        # init_from graft must cast back to the fresh state's f32 (a bf16
+        # leaf inside an f32 train state breaks the optimizer's dtype match)
+        state2, _, h = train_detector(
+            cfg, synth_arrays(n=4), None, init_from=rel, max_epochs=1,
+        )
+        assert all(
+            np.asarray(x).dtype == np.float32
+            for x in jax.tree.leaves(jax.device_get(state2.params))
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+        )
