@@ -135,6 +135,9 @@ def _add_train_calibrator(sub):
     p.add_argument("--cache-dir", default=None)
     p.add_argument("--resume", action="store_true",
                    help="restore full train state from save-dir/'last'")
+    p.add_argument("--release", default=None, metavar="PATH",
+                   help="export G's eval params there on every val-ΔIoU "
+                        "improvement (throttled; survives workspace resets)")
 
 
 def _add_calibrate(sub):
@@ -415,7 +418,8 @@ def main(argv=None) -> int:
             skip_patches=cfg.data.device_patches,
         )
         logger = MetricsLogger(args.save_dir)
-        train_calibrator(cfg, arrays, log_fn=logger.log, resume=args.resume)
+        train_calibrator(cfg, arrays, log_fn=logger.log, resume=args.resume,
+                         release_path=args.release)
 
     elif args.cmd == "calibrate":
         from gcssl_tpu.pipeline.calibrate import (

@@ -25,6 +25,7 @@ Faithfulness switches (config):
 from __future__ import annotations
 
 import functools
+import time
 from typing import Any
 
 import jax
@@ -510,11 +511,18 @@ def train_calibrator(
     log_fn=None,
     max_epochs: int | None = None,
     resume: bool = False,
+    release_path=None,
+    release_min_s: float = 900.0,
 ):
     """Full training loop: epochs, validation delta-IoU, plateau LR, early
     stop, best checkpointing, history JSON — the reference's main() contract
     (cgan_train_enhanced.py:139-551) minus W&B, plus resumability
     (``resume=True`` restores the full train state from save_dir/'last').
+
+    ``release_path``: when set, the generator's eval params are exported as
+    a git-trackable release file (core/release.py) whenever val ΔIoU
+    improves, at most every ``release_min_s`` seconds — full train states
+    are gitignored and do not survive workspace resets.
 
     Returns (final_state, history: list[dict]).
     """
@@ -569,6 +577,7 @@ def train_calibrator(
 
     history: list[dict] = []
     best_delta_iou = -1.0
+    last_release = time.monotonic()
     start_epoch = 1
     # resume an interrupted run (the reference cannot — SURVEY.md §5)
     if resume and ckpt.exists("last"):
@@ -663,6 +672,18 @@ def train_calibrator(
                 "best", jax.device_get(state),
                 {"epoch": epoch, "delta_iou": delta_iou},
             )
+            if release_path and (
+                time.monotonic() - last_release >= release_min_s
+            ):
+                from gcssl_tpu.core.release import save_release
+
+                save_release(
+                    jax.device_get(eval_g_params(cfg, state)), release_path,
+                    {"kind": "calibrator_g", "epoch": epoch,
+                     "delta_iou": delta_iou, "snapshot": True},
+                    compresslevel=1,
+                )
+                last_release = time.monotonic()
             bad_epochs = 0
         else:
             bad_epochs += 1

@@ -124,3 +124,19 @@ class TestReleaseSnapshots:
             for x in jax.tree.leaves(jax.device_get(state2.params))
             if np.issubdtype(np.asarray(x).dtype, np.floating)
         )
+
+
+class TestCalibratorReleaseSnapshot:
+    def test_calibrator_writes_release_on_best(self, tmp_path):
+        from gcssl_tpu.core.release import load_release
+
+        cfg = tiny_config(tmp_path)
+        arrays = synthetic_arrays(n=24)
+        rel = tmp_path / "g.msgpack.gz"
+        train_calibrator(cfg, arrays, max_epochs=2,
+                         release_path=rel, release_min_s=0.0)
+        assert rel.exists()
+        params, meta = load_release(rel)
+        assert meta["kind"] == "calibrator_g"
+        assert "delta_iou" in meta
+        assert jax.tree.leaves(params)
