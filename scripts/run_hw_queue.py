@@ -29,6 +29,7 @@ M_CP = [
     f"init_from={_MAE_M}",
     "width_mult=0.75", "depth_mult=0.67", "batch_size=16", "lr=5e-4",
     "epochs=300", "patience=50", "resume=1",
+    "aug_dtype=bfloat16",  # +9% step throughput (runs/det_m_mae/ab_step.json)
 ]
 
 STAGES = [

@@ -35,6 +35,7 @@ M_SCALE = [
     "depth_mult=0.67",
     "batch_size=16",
     "lr=5e-4",
+    "aug_dtype=bfloat16",  # +9% step throughput (runs/det_m_mae/ab_step.json)
     "retrain_epochs=300",
 ]
 FIRST_TEACHER = _fallback("runs/det_m_mae/best.msgpack",
