@@ -222,8 +222,11 @@ def main():
             rcfg, merged_dir, DATA / "val", retrain_dir,
             log_fn=log_fn, init_from=init_from, resume=True,
             # bf16 progress snapshots on best improvement: the full train
-            # state is gitignored and dies with the workspace
-            release_path=Path("weights") / f"detector_{work.name}.msgpack.gz",
+            # state is gitignored and dies with the workspace.  Distinct
+            # "_snapshot" name so a mid-run snapshot never clobbers the
+            # curated release written at run end below.
+            release_path=Path("weights")
+            / f"detector_{work.name}_snapshot.msgpack.gz",
         )
         best = max(hist, key=lambda r: r.get("map50", -1))
         best_map50 = best.get("map50")
