@@ -1,6 +1,17 @@
 """Benchmark: TPU throughput + MFU for the three hot paths.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints the headline JSON line `{"metric", "value", "unit", "vs_baseline"}`
+the moment the calibrator number is measured, then (budget permitting) an
+enriched line with detector/serving extras appended.  The driver parses the
+LAST JSON line in the tail, so a mid-bench kill still leaves a valid record.
+
+Un-hangable by construction (round-2 failure: rc=124, no output): every
+section runs in its own killable subprocess with a hard deadline, and the
+whole bench self-terminates within ~5 minutes even when the axon tunnel
+wedges mid-compile.  There is no standalone device probe: the calibrator
+section's own deadline is the probe (a dead tunnel costs one 130 s
+deadline then a fast rc=3 exit, and a healthy run saves a duplicate
+20-50 s jax init).
 
 Headline metric (unchanged since round 1): fused WGAN-GP G+D train-step
 throughput.  Baseline: the reference's committed CGAN run processed its
@@ -11,23 +22,36 @@ cgan/runs/exp/training_history.json).  Each "image" is one calibrator pair
 through n_critic=2 critic updates + 1 generator update (reference step
 semantics, cgan_train_enhanced.py:288-374).
 
-Extras (round 2): MFU for each path — analytic FLOPs per step taken from
-the compiled executable's XLA cost analysis, divided by measured step time
-and chip peak bf16 FLOP/s — plus detector train-step throughput (reference
-teacher: ~50 img/s, result/person/results.csv time column) and batched
-TTA+NMS inference throughput (reference: one ultralytics predict() call
-per image, ~10 img/s with TTA on the RTX 2070).
+Extras: MFU for each path — analytic FLOPs per step taken from the
+compiled executable's XLA cost analysis, divided by measured step time and
+chip peak bf16 FLOP/s — plus detector train-step throughput on the
+headline m-scale arch (reference teacher: ~50 img/s,
+result/person/results.csv time column) and batched TTA+NMS inference
+throughput (reference: one ultralytics predict() call per image with TTA).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-BASELINE_IMGS_PER_SEC = 53.0   # RTX 2070, reference committed CGAN run
+BASELINE_IMGS_PER_SEC = 53.0      # RTX 2070, reference committed CGAN run
 BASELINE_DET_IMGS_PER_SEC = 50.0  # reference teacher train throughput
+
+SECTION_DEADLINES_S = {"calibrator": 130.0, "detector": 130.0, "served": 40.0}
+TOTAL_DEADLINE_S = 290.0  # absolute wall budget from process start
+RESULT_TAG = "@@BENCH_SECTION "
+
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return TOTAL_DEADLINE_S - (time.monotonic() - _T0)
 
 
 def peak_flops_bf16() -> float:
@@ -46,19 +70,22 @@ def peak_flops_bf16() -> float:
     return 197e12
 
 
-def compiled_flops(jitted, *args, **kwargs) -> float | None:
-    """FLOPs/step from the XLA cost model of the compiled executable."""
+def _aot(jitted, *args):
+    """AOT-compile once; returns (callable, flops|None).  Avoids the double
+    compile of lower().compile() for cost analysis + first traced call."""
+    compiled = jitted.lower(*args).compile()
+    flops = None
     try:
-        compiled = jitted.lower(*args, **kwargs).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
+        flops = float(ca.get("flops", 0.0)) or None
     except Exception:
-        return None
+        pass
+    return compiled, flops
 
 
-def bench_calibrator(extras: dict) -> tuple[float, float]:
+def bench_calibrator() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -111,31 +138,29 @@ def bench_calibrator(extras: dict) -> tuple[float, float]:
         sl = perm[(i * b) % (n - b) : (i * b) % (n - b) + b]
         return jnp.asarray(sl, jnp.int32)
 
-    flops = compiled_flops(step, state, data, batch_idx(0), w, lr)
+    compiled, flops = _aot(step, state, data, batch_idx(0), w, lr)
 
-    # warmup / compile.  NOTE: on the axon-tunneled TPU, block_until_ready
-    # returns before remote execution completes — only a data fetch (D2H)
-    # reliably forces it, so timings below always end with a scalar fetch.
-    state, metrics = step(state, data, batch_idx(0), w, lr)
+    # warmup.  NOTE: on the axon-tunneled TPU, block_until_ready returns
+    # before remote execution completes — only a data fetch (D2H) reliably
+    # forces it, so timings below always end with a scalar fetch.
+    state, metrics = compiled(state, data, batch_idx(0), w, lr)
     float(metrics["loss_G"])
 
     n_steps = 30
     t0 = time.perf_counter()
     for i in range(1, n_steps + 1):
-        state, metrics = step(state, data, batch_idx(i), w, lr)
+        state, metrics = compiled(state, data, batch_idx(i), w, lr)
     float(metrics["loss_G"])  # chained through every step's state
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = n_steps * b / dt
+    out = {"imgs_per_sec": n_steps * b / dt}
     if flops:
-        extras["calibrator_mfu"] = round(
-            flops / (dt / n_steps) / peak_flops_bf16(), 4
-        )
-        extras["calibrator_tflops_per_step"] = round(flops / 1e12, 3)
-    return imgs_per_sec, dt / n_steps
+        out["calibrator_mfu"] = round(flops / (dt / n_steps) / peak_flops_bf16(), 4)
+        out["calibrator_tflops_per_step"] = round(flops / 1e12, 3)
+    return out
 
 
-def bench_detector(extras: dict) -> None:
+def bench_detector() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -146,7 +171,12 @@ def bench_detector(extras: dict) -> None:
         make_detector_train_step,
     )
 
-    cfg = DetectorConfig(batch_size=16)
+    # the headline arch: every real run this round is the m-scale detector
+    # (width 0.75 / depth 0.67) with bf16 augmentation (runs/det_m_mae/
+    # ab_step.json: +9% step throughput, accuracy-neutral)
+    cfg = DetectorConfig(
+        batch_size=16, width_mult=0.75, depth_mult=0.67, aug_dtype="bfloat16"
+    )
     state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(0))
     step = make_detector_train_step(cfg, model, tx)
 
@@ -162,48 +192,49 @@ def bench_detector(extras: dict) -> None:
     weights = jnp.ones(b, jnp.float32)
     lr = jnp.float32(1e-3)
 
-    flops = compiled_flops(step, state, images4, boxes4, mask4, weights, lr)
-    state, metrics = step(state, images4, boxes4, mask4, weights, lr)
+    compiled, flops = _aot(step, state, images4, boxes4, mask4, weights, lr)
+    state, metrics = compiled(state, images4, boxes4, mask4, weights, lr)
     float(metrics["loss"])
 
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, metrics = step(state, images4, boxes4, mask4, weights, lr)
+        state, metrics = compiled(state, images4, boxes4, mask4, weights, lr)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
-    extras["detector_train_imgs_per_sec"] = round(n_steps * b / dt, 1)
-    extras["detector_train_vs_baseline"] = round(
-        n_steps * b / dt / BASELINE_DET_IMGS_PER_SEC, 2
-    )
+    out = {
+        "detector_train_imgs_per_sec": round(n_steps * b / dt, 1),
+        "detector_train_vs_baseline": round(
+            n_steps * b / dt / BASELINE_DET_IMGS_PER_SEC, 2
+        ),
+    }
     if flops:
-        extras["detector_mfu"] = round(
-            flops / (dt / n_steps) / peak_flops_bf16(), 4
-        )
-        extras["detector_tflops_per_step"] = round(flops / 1e12, 3)
+        out["detector_mfu"] = round(flops / (dt / n_steps) / peak_flops_bf16(), 4)
+        out["detector_tflops_per_step"] = round(flops / 1e12, 3)
 
     # batched TTA+NMS inference (the pseudo-labeling hot path)
     predict = make_detector_predict(cfg, model, max_out=300, pre_nms_topk=700)
     images = images4[:, 0]
-    out = predict(state.params, images, conf_thr=0.25, iou_thr=0.45, tta=True)
-    np.asarray(out[1][0])
+    res = predict(state.params, images, conf_thr=0.25, iou_thr=0.45, tta=True)
+    np.asarray(res[1][0])
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        out = predict(state.params, images, conf_thr=0.25, iou_thr=0.45, tta=True)
-    np.asarray(out[1][0])
+        res = predict(state.params, images, conf_thr=0.25, iou_thr=0.45, tta=True)
+    np.asarray(res[1][0])
     dt = time.perf_counter() - t0
-    extras["detector_tta_infer_imgs_per_sec"] = round(n_steps * b / dt, 1)
+    out["detector_tta_infer_imgs_per_sec"] = round(n_steps * b / dt, 1)
+    return out
 
 
-def bench_served(extras: dict) -> None:
+def bench_served() -> dict:
     """Inference throughput from an AOT serving artifact (gcssl_tpu.serve),
     if one has been exported on this machine — the deployed-model number."""
     from pathlib import Path
 
     art = Path("exports/detector_loop_m.aot")
     if not art.exists():
-        return
+        return {}
     from gcssl_tpu.serve import load_model
 
     served = load_model(art)
@@ -211,15 +242,49 @@ def bench_served(extras: dict) -> None:
     b = served.meta.get("batch") or 16
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 255, (b, s, s, 3)).astype(np.uint8)
-    out = served(imgs)
-    np.asarray(out[1][0])  # force remote execution (see bench_calibrator)
+    res = served(imgs)
+    np.asarray(res[1][0])  # force remote execution (see bench_calibrator)
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        out = served(imgs)
-    np.asarray(out[1][0])
+        res = served(imgs)
+    np.asarray(res[1][0])
     dt = time.perf_counter() - t0
-    extras["served_infer_imgs_per_sec"] = round(n_steps * b / dt, 1)
+    return {"served_infer_imgs_per_sec": round(n_steps * b / dt, 1)}
+
+
+SECTIONS = {
+    "calibrator": bench_calibrator,
+    "detector": bench_detector,
+    "served": bench_served,
+}
+
+
+def _run_section(name: str) -> dict | None:
+    """Run one bench section in a killable subprocess with its own deadline;
+    a wedged TPU tunnel costs one deadline, never the whole bench."""
+    deadline = min(SECTION_DEADLINES_S[name], _remaining() - 5.0)
+    if deadline < 20.0:
+        return {"_error": "skipped: total budget exhausted"}
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(__file__), "runs", "_cache", "xla"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True, text=True, timeout=deadline, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return {"_error": f"timeout after {deadline:.0f}s"}
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(RESULT_TAG):
+            try:
+                return json.loads(line[len(RESULT_TAG):])
+            except json.JSONDecodeError:
+                break
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return {"_error": f"rc={proc.returncode}: {' | '.join(tail[-2:])[:200]}"}
 
 
 def _queue_tree() -> list[int]:
@@ -250,23 +315,35 @@ def _queue_tree() -> list[int]:
 class _paused_queue:
     """SIGSTOP the hardware queue's process tree while benchmarking — a
     concurrently-training process on the one chip would halve every timed
-    number here. SIGCONT on exit; a stall watchdog above the queue is not
-    fooled (its stall timeout is ~25 min, a full bench is ~3 min)."""
+    number here.  SIGCONT on exit AND via atexit/signal handlers, so an
+    uncleanly-dying bench (OOM, driver SIGTERM) cannot leave the queue
+    frozen; descendants are re-enumerated after the parent stops so a child
+    forked mid-enumeration cannot keep running through the timed window."""
 
     def __enter__(self):
-        import os
+        import atexit
         import signal
 
-        self.pids = _queue_tree()
-        for p in self.pids:  # parent first: it can't spawn new work stopped
-            try:
-                os.kill(p, signal.SIGSTOP)
-            except OSError:
-                pass
+        self.pids: list[int] = []
+        # parent first: once stopped it can't spawn new work; then sweep
+        # descendants repeatedly until a pass finds nothing new
+        seen: set[int] = set()
+        for _ in range(10):
+            new = [p for p in _queue_tree() if p not in seen]
+            if not new:
+                break
+            for p in new:
+                try:
+                    os.kill(p, signal.SIGSTOP)
+                    seen.add(p)
+                    self.pids.append(p)
+                except OSError:
+                    pass
+        atexit.register(self._resume)
+        self._old_term = signal.signal(signal.SIGTERM, self._on_term)
         return self
 
-    def __exit__(self, *exc):
-        import os
+    def _resume(self):
         import signal
 
         for p in reversed(self.pids):
@@ -274,58 +351,53 @@ class _paused_queue:
                 os.kill(p, signal.SIGCONT)
             except OSError:
                 pass
-        return False
+        self.pids = []
 
+    def _on_term(self, signum, frame):
+        self._resume()
+        raise SystemExit(143)
 
-def _device_link_alive(timeout_s: float = 300.0) -> bool:
-    """Probe the device in a killable subprocess: jax.devices() hangs
-    forever in-process when the axon TPU tunnel is down (observed
-    multi-hour outages), and a bench that never prints is worse than one
-    that fails fast."""
-    import subprocess
-    import sys
+    def __exit__(self, *exc):
+        import signal
 
-    try:
-        return (
-            subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, timeout=timeout_s,
-            ).returncode
-            == 0
-        )
-    except subprocess.TimeoutExpired:
+        self._resume()
+        signal.signal(signal.SIGTERM, self._old_term)
         return False
 
 
 def main() -> None:
-    if not _device_link_alive():
-        import sys
+    if len(sys.argv) == 3 and sys.argv[1] == "--section":
+        result = SECTIONS[sys.argv[2]]()
+        print(RESULT_TAG + json.dumps(result), flush=True)
+        return
 
-        print("bench: device link down (probe timed out); not benching",
-              file=sys.stderr)
-        raise SystemExit(2)
-    extras: dict = {}
     with _paused_queue():
-        imgs_per_sec, _ = bench_calibrator(extras)
-        try:
-            bench_detector(extras)
-        except Exception as e:  # detector bench is additive; never sink line
-            extras["detector_bench_error"] = repr(e)[:200]
-        try:
-            bench_served(extras)
-        except Exception as e:
-            extras["served_bench_error"] = repr(e)[:200]
-    print(
-        json.dumps(
-            {
-                "metric": "calibrator_train_images_per_sec_per_chip",
-                "value": round(imgs_per_sec, 2),
-                "unit": "images/sec/chip (WGAN-GP G+D step, batch 128, n_critic 2)",
-                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 2),
-                **extras,
-            }
-        )
-    )
+        cal = _run_section("calibrator")
+        if cal is None or "imgs_per_sec" not in cal:
+            err = (cal or {}).get("_error", "no result")
+            print(f"bench: calibrator section failed: {err}", file=sys.stderr)
+            raise SystemExit(3)
+        imgs_per_sec = cal.pop("imgs_per_sec")
+        headline = {
+            "metric": "calibrator_train_images_per_sec_per_chip",
+            "value": round(imgs_per_sec, 2),
+            "unit": "images/sec/chip (WGAN-GP G+D step, batch 128, n_critic 2)",
+            "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 2),
+            **cal,
+        }
+        # print NOW: if any later section (or the driver's own timeout)
+        # kills us, this line is already in the tail and parseable
+        print(json.dumps(headline), flush=True)
+
+        extras: dict = {}
+        for name in ("detector", "served"):
+            res = _run_section(name)
+            if res and "_error" in res:
+                extras[f"{name}_bench_error"] = res["_error"]
+            elif res:
+                extras.update(res)
+    if extras:
+        print(json.dumps({**headline, **extras}), flush=True)
 
 
 if __name__ == "__main__":

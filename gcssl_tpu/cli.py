@@ -311,6 +311,12 @@ def _load_detector(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # multi-host: activates only when JAX_COORDINATOR is set (core/mesh.py);
+    # single-host runs (the common case) pass straight through
+    from gcssl_tpu.core.mesh import init_distributed
+
+    init_distributed()
+
     if args.cmd == "split":
         from gcssl_tpu.pipeline.split import split_dataset
 

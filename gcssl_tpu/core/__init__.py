@@ -16,7 +16,12 @@ from gcssl_tpu.core.config import (
     config_to_dict,
     apply_overrides,
 )
-from gcssl_tpu.core.mesh import make_mesh, data_sharding, replicated_sharding
+from gcssl_tpu.core.mesh import (
+    init_distributed,
+    make_mesh,
+    data_sharding,
+    replicated_sharding,
+)
 from gcssl_tpu.core.checkpoint import CheckpointManager
 
 __all__ = [
@@ -34,6 +39,7 @@ __all__ = [
     "config_from_dict",
     "config_to_dict",
     "apply_overrides",
+    "init_distributed",
     "make_mesh",
     "data_sharding",
     "replicated_sharding",

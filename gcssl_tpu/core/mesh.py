@@ -16,6 +16,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gcssl_tpu.core.config import MeshConfig
 
 
+def init_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host mesh setup (SURVEY.md §7 core/: "mesh/device setup
+    (jax.distributed, ...)").
+
+    No-op (returns False) unless a coordinator address is given either as
+    an argument or via ``JAX_COORDINATOR`` — the single-host path stays
+    untouched.  With one, calls ``jax.distributed.initialize`` so that
+    ``jax.devices()`` (and therefore :func:`make_mesh`) spans every host's
+    chips and collectives ride ICI within a slice / DCN across slices.
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` supply the remaining
+    coordinates when not inferrable from the TPU environment (they never
+    are on CPU, which is how the two-process test drives this).
+    Idempotent: a second call in an already-initialized process is a no-op.
+    """
+    import os
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR")
+    if not coordinator:
+        return False
+    # NOTE: must not touch jax.devices()/process_count() here — any backend
+    # query before initialize() is an error by JAX's own contract
+    if jax.distributed.is_initialized():
+        return True  # already initialized
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes
+        if num_processes is not None
+        else (int(env_np) if env_np else None),
+        process_id=process_id
+        if process_id is not None
+        else (int(env_pid) if env_pid else None),
+    )
+    return True
+
+
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())

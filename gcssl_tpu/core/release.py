@@ -52,10 +52,23 @@ def save_release(params: Any, out_path: str | Path, metadata: dict | None = None
 
 
 def load_release(path: str | Path) -> tuple[Any, dict]:
-    """Returns (params pytree, metadata dict)."""
+    """Returns (params pytree, metadata dict).
+
+    Float leaves are cast back to float32: snapshots are written in bf16
+    (save_release dtype=...) and every consumer (teacher predict, export,
+    AOT serving) assumes f32 params — without this cast a bf16 snapshot
+    silently ran inference in bf16 end to end."""
+    import numpy as np
+
     with gzip.open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    return payload["params"], json.loads(payload.get("meta", "{}"))
+    params = jax.tree.map(
+        lambda x: x.astype(np.float32)
+        if np.issubdtype(np.asarray(x).dtype, np.floating)
+        and np.asarray(x).dtype != np.float32 else x,
+        payload["params"],
+    )
+    return params, json.loads(payload.get("meta", "{}"))
 
 
 def is_release_file(path: str | Path) -> bool:

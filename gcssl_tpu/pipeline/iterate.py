@@ -22,9 +22,16 @@ def merge_labeled_and_pseudo(
     pseudo_images_dir: str | Path,
     pseudo_labels_dir: str | Path,
     out_dir: str | Path,
+    strict: bool = True,
 ) -> int:
     """Union of {labeled_dir/{images,labels}} and calibrated pseudo pairs
-    into out_dir; labeled data wins on stem collisions.  Returns total images."""
+    into out_dir; labeled data wins on stem collisions.  Returns total images.
+
+    ``strict`` (default) hard-fails when a pseudo label has no matching
+    image: a half-wiped pseudo tree (labels survived a workspace reset,
+    images did not) would otherwise silently collapse the merge to the
+    labeled set alone — round 2's m-scale loop recorded a bogus negative
+    delta exactly this way."""
     labeled_dir, out_dir = Path(labeled_dir), Path(out_dir)
     pseudo_images_dir, pseudo_labels_dir = Path(pseudo_images_dir), Path(pseudo_labels_dir)
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
@@ -38,6 +45,7 @@ def merge_labeled_and_pseudo(
             shutil.copy2(lbl, out_dir / "labels" / lbl.name)
         seen.add(img.stem)
 
+    missing = []
     for lbl in sorted(pseudo_labels_dir.glob("*.txt")):
         if lbl.stem in seen:
             continue
@@ -48,6 +56,7 @@ def merge_labeled_and_pseudo(
                 img = cand
                 break
         if img is None:
+            missing.append(lbl.stem)
             continue
         # strip confidence column: training labels are `cls cx cy w h`
         rows = []
@@ -58,6 +67,14 @@ def merge_labeled_and_pseudo(
         (out_dir / "labels" / lbl.name).write_text("\n".join(rows) + "\n" if rows else "")
         shutil.copy2(img, out_dir / "images" / img.name)
         seen.add(lbl.stem)
+    if missing and strict:
+        raise FileNotFoundError(
+            f"merge_labeled_and_pseudo: {len(missing)} pseudo label(s) in "
+            f"{pseudo_labels_dir} have no image in {pseudo_images_dir} "
+            f"(first: {missing[:3]}). The pseudo tree is corrupt/half-wiped; "
+            "re-run the pseudo-labeling stage instead of training on a "
+            "silently-shrunken merge."
+        )
     return len(seen)
 
 

@@ -712,4 +712,11 @@ def train_calibrator(
          "lr": sched_g.lr, "sched_best": sched_g.best,
          "sched_bad_epochs": sched_g.num_bad_epochs, "bad_epochs": bad_epochs},
     )
+    if release_path and history and ckpt.exists("best"):
+        # final snapshot of the run's best G: the in-loop release is
+        # time-throttled (release_min_s), so a best improvement inside the
+        # throttle window would otherwise never reach the tracked file
+        from gcssl_tpu.core.release import export_calibrator_g
+
+        export_calibrator_g(tcfg.save_dir, release_path, cfg)
     return state, history

@@ -59,6 +59,19 @@ def main() -> int:
 
     pidfile = ROOT / "runs" / ".hw_queue.pid"
     pidfile.parent.mkdir(parents=True, exist_ok=True)
+    # refuse to double-run: a second queue would overwrite the pidfile and
+    # bench._paused_queue would pause only the newer tree while the older
+    # one keeps training on the chip, skewing every timed number
+    try:
+        old = int(pidfile.read_text().strip())
+        if old != os.getpid() and b"run_hw_queue" in Path(
+            f"/proc/{old}/cmdline"
+        ).read_bytes():
+            print(f"[queue] another queue is running (pid {old}); exiting",
+                  flush=True)
+            return 3
+    except (OSError, ValueError):
+        pass
     pidfile.write_text(str(os.getpid()))
     failed = []
     for marker, argv in STAGES:

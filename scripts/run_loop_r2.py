@@ -29,6 +29,18 @@ def say(msg, log=[None]):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def pair_tree_ok(root: Path, expect: int | None = None) -> bool:
+    """A pseudo-label pair tree is valid iff images and labels are non-empty
+    and 1:1 (and match the recorded count when given).  Round 2's m-scale
+    loop was corrupted by gating on the counts marker alone: a workspace
+    reset left 4,025 labels with 0 images and the merge silently shrank."""
+    imgs = {p.stem for p in (root / "images").glob("*") if p.is_file()}
+    lbls = {p.stem for p in (root / "labels").glob("*.txt")}
+    if not imgs or imgs != lbls:
+        return False
+    return expect is None or len(imgs) == expect
+
+
 def main():
     import jax
 
@@ -125,6 +137,26 @@ def main():
     # ---- 2. two-stage over the full pool ----
     two_dir = work / "two_stage"
     counts_path = work / "two_stage_counts.json"
+    stage2_high = two_dir / "stage2" / "high"
+    if counts_path.exists():
+        # gate on the real artifacts, not the marker: the tree must hold
+        # exactly the recorded number of image+label pairs
+        rec = json.loads(counts_path.read_text())
+        if not pair_tree_ok(stage2_high, rec.get("stage2_high")):
+            say(f"two-stage artifacts INVALID under {stage2_high} "
+                f"(expected {rec.get('stage2_high')} pairs) — re-running")
+            import shutil
+
+            counts_path.unlink()
+            shutil.rmtree(two_dir, ignore_errors=True)
+            # everything downstream of the corrupt tree is equally corrupt:
+            # a surviving retrain/ checkpoint would be silently resumed
+            shutil.rmtree(work / "merged", ignore_errors=True)
+            shutil.rmtree(work / "retrain", ignore_errors=True)
+            shutil.rmtree(work / "calibrated", ignore_errors=True)
+            for stale in ("pseudo_quality.json", "calibrated_quality.json",
+                          "loop_result.json"):
+                (work / stale).unlink(missing_ok=True)
     if not counts_path.exists():
         from gcssl_tpu.pipeline.two_stage import two_stage_pseudo_label
 
@@ -137,6 +169,11 @@ def main():
         )
         counts["wall_s"] = round(time.time() - t0, 1)
         counts["conf_high"] = conf_high
+        if not pair_tree_ok(stage2_high, counts.get("stage2_high")):
+            raise RuntimeError(
+                f"two-stage finished but {stage2_high} is not a valid "
+                f"1:1 pair tree of {counts.get('stage2_high')} items"
+            )
         counts_path.write_text(json.dumps(counts, indent=1))
     counts = json.loads(counts_path.read_text())
     say(f"two-stage counts: {counts}")

@@ -64,12 +64,28 @@ def main():
         cfg, train, val, save_dir=save_dir, log_fn=log_fn,
         resume=resume, init_from=init_from,
         # bf16 progress snapshots: full train states are gitignored and
-        # die with the workspace (core/release.py)
-        release_path=Path("weights") / f"detector_{save_dir.name}.msgpack.gz",
+        # die with the workspace (core/release.py).  Distinct "_snapshot"
+        # name: a resume-after-reset restarts best_map50 at -1 and an
+        # early-epoch snapshot must never clobber the curated release.
+        release_path=Path("weights") / f"detector_{save_dir.name}_snapshot.msgpack.gz",
     )
     if history:
         best = max(history, key=lambda r: r.get("map50", -1))
         say(f"BEST map50 {best.get('map50'):.4f} @ep{best['epoch']}")
+        # curated release: only overwrite when this run's best beats the
+        # existing release's recorded map50
+        from gcssl_tpu.core.release import export_detector, is_release_file, load_release
+
+        rel_path = Path("weights") / f"detector_{save_dir.name}.msgpack.gz"
+        prev = (load_release(rel_path)[1].get("map50", -1)
+                if is_release_file(rel_path) else -1)
+        cur = best.get("map50") or -1
+        if cur >= (prev or -1):
+            export_detector(save_dir, rel_path, cfg, extra_meta={
+                "width_mult": cfg.width_mult, "depth_mult": cfg.depth_mult})
+            say(f"release exported: {rel_path} (map50 {cur:.4f} >= prev {prev})")
+        else:
+            say(f"release kept: existing {rel_path} map50 {prev} > {cur:.4f}")
 
 
 if __name__ == "__main__":

@@ -128,3 +128,28 @@ class TestIterateMerge:
         assert "0.9" not in a_rows  # labeled version kept
         b_rows = (merged / "labels" / "b.txt").read_text().strip().split()
         assert len(b_rows) == 5  # conf stripped for training
+
+    def test_merge_aborts_on_wiped_image_tree(self, tmp_path):
+        """A half-wiped pseudo tree (labels survived a workspace reset,
+        images did not) must abort loudly, not silently shrink the merge —
+        round 2's m-scale loop recorded a bogus negative delta this way."""
+        import pytest
+
+        lab = tmp_path / "labeled"
+        (lab / "images").mkdir(parents=True)
+        (lab / "labels").mkdir()
+        (lab / "images" / "a.jpg").write_bytes(b"x")
+        (lab / "labels" / "a.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+
+        pi = tmp_path / "pseudo_imgs"   # empty: the wiped tree
+        pl = tmp_path / "pseudo_lbls"
+        pi.mkdir(), pl.mkdir()
+        (pl / "b.txt").write_text("0 0.4 0.4 0.1 0.1 0.87\n")
+
+        with pytest.raises(FileNotFoundError, match="no image"):
+            merge_labeled_and_pseudo(lab, pi, pl, tmp_path / "merged")
+        # opt-out for callers that have already validated the tree
+        n = merge_labeled_and_pseudo(
+            lab, pi, pl, tmp_path / "merged2", strict=False
+        )
+        assert n == 1

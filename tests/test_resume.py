@@ -109,13 +109,15 @@ class TestReleaseSnapshots:
         save_release(state.params, rel, {"kind": "detector"},
                      compresslevel=1, dtype=jnp.bfloat16)
         params, _ = load_release(rel)
+        # load_release casts float leaves back to f32: every consumer
+        # (teacher predict, export, AOT serving) assumes f32 params
         assert all(
-            np.asarray(x).dtype == jnp.bfloat16
+            np.asarray(x).dtype == np.float32
             for x in jax.tree.leaves(params)
             if np.issubdtype(np.asarray(x).dtype, np.floating)
         )
-        # init_from graft must cast back to the fresh state's f32 (a bf16
-        # leaf inside an f32 train state breaks the optimizer's dtype match)
+        # init_from graft keeps the fresh state's f32 (a bf16 leaf inside
+        # an f32 train state breaks the optimizer's dtype match)
         state2, _, h = train_detector(
             cfg, synth_arrays(n=4), None, init_from=rel, max_epochs=1,
         )
