@@ -577,22 +577,29 @@ def create_detector_state(cfg: DetectorConfig, rng: jax.Array):
         depth_mult=cfg.depth_mult,
         dtype=dtype,
     )
-    rng, init_rng = jax.random.split(rng)
-    dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
-    params = model.init(init_rng, dummy)["params"]
     tx = optax.chain(
         optax.clip_by_global_norm(10.0),
         optax.scale_by_adam(),
         optax.add_decayed_weights(cfg.weight_decay),
     )
-    state = DetectorTrainState(
-        params=params,
-        ema_params=jax.tree.map(jnp.copy, params),
-        opt=tx.init(params),
-        rng=rng,
-        step=jnp.asarray(0, jnp.int32),
-    )
-    return state, model, tx
+
+    # single jitted (persistently-cacheable) init program: eager flax init
+    # dispatches per-op through the tunneled TPU path (~minutes; see
+    # wgan_gp.create_train_state)
+    @jax.jit
+    def _init(rng):
+        rng, init_rng = jax.random.split(rng)
+        dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        params = model.init(init_rng, dummy)["params"]
+        return DetectorTrainState(
+            params=params,
+            ema_params=jax.tree.map(lambda p: p + 0.0, params),
+            opt=tx.init(params),
+            rng=rng,
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+    return _init(rng), model, tx
 
 
 def make_detector_step_core(cfg: DetectorConfig, model, tx,

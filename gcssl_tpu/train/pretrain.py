@@ -94,15 +94,24 @@ def create_pretrain_state(cfg: DetectorConfig, img_size: int, rng: jax.Array,
                           weight_decay: float = 0.05):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model = MaskedRecon(cfg.width_mult, cfg.depth_mult, dtype)
-    rng, init_rng = jax.random.split(rng)
-    params = model.init(init_rng, jnp.zeros((1, img_size, img_size, 3)))["params"]
     tx = optax.chain(
         optax.clip_by_global_norm(5.0),
         optax.scale_by_adam(),
         optax.add_decayed_weights(weight_decay),
     )
-    return PretrainState(params=params, opt=tx.init(params), rng=rng,
-                         step=jnp.asarray(0, jnp.int32)), model, tx
+
+    # one jitted init program (eager flax init is minutes through the
+    # tunneled TPU path — see wgan_gp.create_train_state)
+    @jax.jit
+    def _init(rng):
+        rng, init_rng = jax.random.split(rng)
+        params = model.init(
+            init_rng, jnp.zeros((1, img_size, img_size, 3))
+        )["params"]
+        return PretrainState(params=params, opt=tx.init(params), rng=rng,
+                             step=jnp.asarray(0, jnp.int32))
+
+    return _init(rng), model, tx
 
 
 def _normalize_patches(x, grid):

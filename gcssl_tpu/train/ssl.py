@@ -59,24 +59,30 @@ def create_ssl_state(cfg: SSLClassifierConfig, rng: jax.Array):
         d_model = KPlusOneDiscriminator(
             num_classes=cfg.num_classes, base=cfg.d_base, dtype=dtype
         )
-    rng, gr, dr = jax.random.split(rng, 3)
-    z = jnp.zeros((1, cfg.latent_dim), jnp.float32)
-    x = jnp.zeros((1, cfg.img_size, cfg.img_size, channels), jnp.float32)
-    g_params = g_model.init({"params": gr}, z)["params"]
-    d_params = d_model.init({"params": dr, "dropout": dr}, x)["params"]
     tx = optax.chain(
         optax.clip_by_global_norm(5.0),
         optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2),
     )
-    state = SSLTrainState(
-        g_params=g_params,
-        d_params=d_params,
-        g_opt=tx.init(g_params),
-        d_opt=tx.init(d_params),
-        rng=rng,
-        step=jnp.asarray(0, jnp.int32),
-    )
-    return state, g_model, d_model, tx
+
+    # one jitted init program (eager flax init is minutes through the
+    # tunneled TPU path — see wgan_gp.create_train_state)
+    @jax.jit
+    def _init(rng):
+        rng, gr, dr = jax.random.split(rng, 3)
+        z = jnp.zeros((1, cfg.latent_dim), jnp.float32)
+        x = jnp.zeros((1, cfg.img_size, cfg.img_size, channels), jnp.float32)
+        g_params = g_model.init({"params": gr}, z)["params"]
+        d_params = d_model.init({"params": dr, "dropout": dr}, x)["params"]
+        return SSLTrainState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=tx.init(g_params),
+            d_opt=tx.init(d_params),
+            rng=rng,
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+    return _init(rng), g_model, d_model, tx
 
 
 def make_ssl_train_step(cfg: SSLClassifierConfig, g_model, d_model, tx,

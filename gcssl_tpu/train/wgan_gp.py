@@ -119,27 +119,34 @@ def create_train_state(
     g_model = build_generator(cfg.model.generator_type, cfg.model.delta_scale, dtype)
     d_model = PatchCritic(spectral_norm=cfg.model.spectral_norm, dtype=dtype)
 
-    rng, g_rng, d_rng = jax.random.split(rng, 3)
     s = cfg.data.img_size
-    dummy = jnp.zeros((1, s, s, 3), jnp.float32)
-    g_vars = g_model.init(g_rng, dummy)
-    d_vars = d_model.init(d_rng, dummy, dummy)
-
     tx = _make_optimizer(cfg.train.grad_clip_norm, cfg.train.beta1, cfg.train.beta2)
-    g_params = g_vars["params"]
-    d_params = d_vars["params"]
-    d_stats = d_vars.get("batch_stats", FrozenDict({}))
-    state = CalibratorTrainState(
-        g_params=g_params,
-        d_params=d_params,
-        d_stats=d_stats,
-        g_opt=tx.init(g_params),
-        d_opt=tx.init(d_params),
-        rng=rng,
-        step=jnp.asarray(0, jnp.int32),
-        g_ema=jax.tree.map(jnp.copy, g_params),
-    )
-    return state, g_model, d_model
+
+    # one jitted (and persistently-cacheable) program for the whole init:
+    # eager flax init dispatches hundreds of individual ops, which costs
+    # ~2 min through the tunneled TPU path (measured round 3) vs ~10 s for
+    # a single compiled program
+    @jax.jit
+    def _init(rng):
+        rng, g_rng, d_rng = jax.random.split(rng, 3)
+        dummy = jnp.zeros((1, s, s, 3), jnp.float32)
+        g_vars = g_model.init(g_rng, dummy)
+        d_vars = d_model.init(d_rng, dummy, dummy)
+        g_params = g_vars["params"]
+        d_params = d_vars["params"]
+        d_stats = d_vars.get("batch_stats", FrozenDict({}))
+        return CalibratorTrainState(
+            g_params=g_params,
+            d_params=d_params,
+            d_stats=d_stats,
+            g_opt=tx.init(g_params),
+            d_opt=tx.init(d_params),
+            rng=rng,
+            step=jnp.asarray(0, jnp.int32),
+            g_ema=jax.tree.map(lambda p: p + 0.0, g_params),
+        )
+
+    return _init(rng), g_model, d_model
 
 
 def _canvas_crop(

@@ -29,7 +29,7 @@ def measure(cfg_kw, n_steps=20):
     from gcssl_tpu.train.detector import (
         create_detector_state, make_detector_train_step,
     )
-    from bench import compiled_flops, peak_flops_bf16
+    from bench import _aot, peak_flops_bf16
 
     cfg = DetectorConfig(width_mult=0.75, depth_mult=0.67, **cfg_kw)
     state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(0))
@@ -46,16 +46,15 @@ def measure(cfg_kw, n_steps=20):
     )
     weights = jnp.ones(b, jnp.float32)
     lr = jnp.float32(1e-3)
-    kwargs = dict(use_mosaic=cfg.mosaic)
-
-    flops = compiled_flops(step, state, images4, boxes4, mask4, weights, lr,
-                           **kwargs)
-    state, metrics = step(state, images4, boxes4, mask4, weights, lr, **kwargs)
+    # AOT-compile once (use_mosaic is static, so the compiled executable is
+    # called without it); _aot also yields XLA cost-model FLOPs for MFU
+    step_c, flops = _aot(step, state, images4, boxes4, mask4, weights, lr,
+                         use_mosaic=cfg.mosaic)
+    state, metrics = step_c(state, images4, boxes4, mask4, weights, lr)
     float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, metrics = step(state, images4, boxes4, mask4, weights, lr,
-                              **kwargs)
+        state, metrics = step_c(state, images4, boxes4, mask4, weights, lr)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
     out = {"imgs_per_sec": round(n_steps * b / dt, 1),

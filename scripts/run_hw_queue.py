@@ -33,18 +33,30 @@ M_CP = [
 ]
 
 STAGES = [
-    # 0. real-data SSL classification (sklearn digits) — minutes on-chip
-    ("runs/ssl_digits_real/results.json",
-     [sys.executable, "scripts/run_ssl_digits.py"]),
-    # 0b. detector train-step throughput A/B (minutes on-chip)
-    ("runs/det_m_mae/ab_step.json",
-     [sys.executable, "scripts/ab_det_step.py"]),
-    # 1. finish the in-flight SSL loop chain (loop_m retrain -> loop_m2)
-    ("runs/loop_m2/loop_result.json",
+    # 0. bench with wide deadlines: records real numbers in
+    #    runs/bench_live.json (the provisional headline for later runs)
+    #    and primes the local+remote compile caches — a cold remote
+    #    compile can exceed the driver's bench window (round-2 rc=124)
+    ("runs/bench_live.json",
+     [sys.executable, "bench.py"],
+     {"BENCH_DEADLINE_CALIBRATOR": "900", "BENCH_DEADLINE_DETECTOR": "900",
+      "BENCH_TOTAL_DEADLINE_S": "2400",
+      "JAX_COMPILATION_CACHE_DIR": ".xla_cache"}),
+    # 0b. real-data SSL ladder: digits at 20/50/100 labels x 3 seeds
+    #    (round-3 verdict #5: the synthetic benchmarks saturated)
+    ("runs/ssl_digits_ladder/results.json",
+     [sys.executable, "scripts/run_ssl_digits_ladder.py"]),
+    # 1. clean m-scale loop chain (round-3 verdict #2/#3): the fixed
+    #    artifact gates wipe + re-run the corrupted loop_m, then chain two
+    #    more iterations toward detector parity (ref 0.5666 mAP50)
+    ("runs/loop_m3/loop_result.json",
      [sys.executable, "scripts/run_loop_chain.py", "runs/loop_m",
-      "runs/loop_m2"]),
-    # 2. copy-paste A/B: the det_m_mae teacher recipe + copy_paste=0.5
-    #    (baseline: runs/det_m_mae best 0.5365 val mAP50)
+      "runs/loop_m2", "runs/loop_m3"]),
+    # 2. calibrator question (round-3 verdict #6): detector-level A/B of
+    #    raw vs self-calibrated k-fold labels in the sloppy-pair regime
+    ("runs/ab_calib/result.json",
+     [sys.executable, "scripts/ab_calibrated_retrain.py"]),
+    # 3. finish the copy-paste accuracy A/B (round-2 weak #6; resumes ep85)
     ("runs/det_m_cp/.queue_done",
      [sys.executable, "scripts/train_det_v2.py", "runs/det_m_cp",
       *M_CP, "copy_paste=0.5"]),
@@ -74,13 +86,14 @@ def main() -> int:
         pass
     pidfile.write_text(str(os.getpid()))
     failed = []
-    for marker, argv in STAGES:
+    for marker, argv, *opt in STAGES:
         mpath = ROOT / marker
         if mpath.exists():
             print(f"[queue] skip (done): {marker}", flush=True)
             continue
         print(f"[queue] run: {' '.join(argv[1:])}", flush=True)
-        rc = subprocess.run(argv, cwd=ROOT).returncode
+        env = {**os.environ, **(opt[0] if opt else {})}
+        rc = subprocess.run(argv, cwd=ROOT, env=env).returncode
         if rc != 0:
             # keep going: a persistently-failing early stage must not starve
             # the later ones (the watchdog relaunches the whole queue, so a

@@ -39,8 +39,10 @@ def tiny_cfg(**over):
 
 @pytest.fixture(scope="module")
 def splits():
+    # hard=False: these tests exercise train/eval mechanics, not benchmark
+    # difficulty — the 3-epoch "beats chance" assertion needs the easy set
     x_tr, y_tr, x_te, y_te = synthetic_classification_set(
-        num_classes=4, img_size=32, n_train=400, n_test=80, seed=0
+        num_classes=4, img_size=32, n_train=400, n_test=80, seed=0, hard=False
     )
     return make_ssl_splits(x_tr, y_tr, x_te, y_te, num_labeled=80, num_classes=4)
 
@@ -87,6 +89,50 @@ class TestModels:
         logits, feats = d.apply({"params": params}, x, train=False)
         assert logits.shape == (2, 5)  # K+1
         assert feats.ndim == 2
+
+
+class TestHardSyntheticSet:
+    """The benchmark variant (hard=True, the default) must stay off the
+    accuracy ceiling: round 2's easy set saturated at acc 1.0 and measured
+    nothing (VERDICT r2 weak #4)."""
+
+    def test_deterministic_and_shaped(self):
+        a = synthetic_classification_set(4, 32, 3, 200, 40, seed=7)
+        b = synthetic_classification_set(4, 32, 3, 200, 40, seed=7)
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+        assert a[0].shape == (200, 32, 32, 3) and a[0].dtype == np.uint8
+
+    def test_label_noise_applied_to_train_only(self):
+        # regenerate with and without label noise: same images, ~5% of
+        # train labels flipped, test labels untouched
+        x1, y1, xt1, yt1 = synthetic_classification_set(
+            10, 32, 1, 2000, 400, seed=3, label_noise=0.0)
+        x2, y2, xt2, yt2 = synthetic_classification_set(
+            10, 32, 1, 2000, 400, seed=3, label_noise=0.05)
+        frac = (y1 != y2).mean()
+        assert 0.02 < frac < 0.09, frac
+        assert np.array_equal(yt1, yt2)
+
+    def test_per_sample_contrast_normalized(self):
+        # a global normalize leaks class identity through batch statistics;
+        # every hard sample must span (near) the full u8 range itself
+        x, *_ = synthetic_classification_set(4, 32, 3, 80, 20, seed=0)
+        lo = x.reshape(len(x), -1).min(1)
+        hi = x.reshape(len(x), -1).max(1)
+        assert (lo <= 10).all() and (hi >= 245).all()
+
+    def test_pixel_space_linear_probe_stays_off_ceiling(self):
+        # the spatial-shift nuisance removes the trivial pixel-space
+        # solution; a linear readout on raw pixels must be far from acc 1.0
+        # (the easy set is linearly separable at ~1.0)
+        from sklearn.linear_model import LogisticRegression
+
+        xtr, ytr, xte, yte = synthetic_classification_set(
+            10, 32, 1, 1000, 300, seed=0)
+        lr = LogisticRegression(max_iter=120).fit(
+            xtr.reshape(len(xtr), -1) / 255.0, ytr)
+        acc = lr.score(xte.reshape(len(xte), -1) / 255.0, yte)
+        assert acc < 0.6, acc
 
 
 class TestTraining:
