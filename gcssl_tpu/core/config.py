@@ -180,9 +180,10 @@ class DetectorConfig:
     mosaic_max_boxes: int = 120    # static GT budget after mosaic compaction
     copy_paste: float = 0.0        # per-slot probability of instance paste
     copy_paste_n: int = 2          # paste slots per image (static shape)
-    aug_dtype: str = "float32"     # augmentation compute dtype; "bfloat16"
-                                   # halves aug-stage HBM traffic (images are
-                                   # re-quantized by the model's bf16 cast)
+    aug_dtype: str = "bfloat16"    # augmentation compute dtype ("float32"
+                                   # opts out); bf16 halves aug-stage HBM
+                                   # traffic and is accuracy-neutral
+                                   # (runs/det_m_mae/ab_step.json)
 
 
 @dataclass

@@ -47,8 +47,13 @@ def test_failed_stage_does_not_starve_later_stages(tmp_path, monkeypatch):
 
 def test_real_stage_list_is_wellformed():
     q = _load_queue()
-    for marker, argv in q.STAGES:
+    for marker, argv, *opt in q.STAGES:
         assert not Path(marker).is_absolute()
         assert argv[0] == sys.executable
         script = REPO / argv[1]
         assert script.exists(), f"missing stage script {argv[1]}"
+        if opt:  # optional per-stage env overrides
+            assert isinstance(opt[0], dict) and all(
+                isinstance(k, str) and isinstance(v, str)
+                for k, v in opt[0].items()
+            )
