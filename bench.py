@@ -315,7 +315,9 @@ def _queue_tree() -> list[int]:
     running (scripts/run_hw_queue.py writes runs/.hw_queue.pid)."""
     from pathlib import Path
 
-    pidfile = Path(__file__).parent / "runs" / ".hw_queue.pid"
+    pidfile = Path(os.environ.get(
+        "BENCH_QUEUE_PIDFILE",
+        Path(__file__).parent / "runs" / ".hw_queue.pid"))
     try:
         pid = int(pidfile.read_text().strip())
         cmdline = Path(f"/proc/{pid}/cmdline").read_bytes()
@@ -348,9 +350,23 @@ class _paused_queue:
         import signal
 
         self.pids: list[int] = []
+        # never stop our own process or its ancestors: when the hardware
+        # queue itself runs bench.py (cache-priming stage), bench is a
+        # descendant of the queue tree and a blanket SIGSTOP freezes the
+        # whole tree including us — an unrecoverable self-deadlock (the
+        # SIGCONT cleanup can never run from a stopped process)
+        protected: set[int] = set()
+        p = os.getpid()
+        while p > 1:
+            protected.add(p)
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    p = int(f.read().split(") ")[-1].split()[1])
+            except (OSError, ValueError, IndexError):
+                break
         # parent first: once stopped it can't spawn new work; then sweep
         # descendants repeatedly until a pass finds nothing new
-        seen: set[int] = set()
+        seen: set[int] = set(protected)
         for _ in range(10):
             new = [p for p in _queue_tree() if p not in seen]
             if not new:
