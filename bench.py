@@ -45,7 +45,8 @@ import numpy as np
 BASELINE_IMGS_PER_SEC = 53.0      # RTX 2070, reference committed CGAN run
 BASELINE_DET_IMGS_PER_SEC = 50.0  # reference teacher train throughput
 
-SECTION_DEADLINES_S = {"calibrator": 320.0, "detector": 160.0, "served": 40.0}
+SECTION_DEADLINES_S = {"calibrator": 320.0, "detector": 160.0,
+                       "detector_tta": 120.0, "served": 40.0}
 TOTAL_DEADLINE_S = 540.0  # absolute wall budget from process start
 # Persistent XLA-executable cache in a GIT-TRACKED dir: remote compiles
 # through the tunneled TPU run 4-8 min cold (measured round 3) but ~10 s
@@ -231,10 +232,34 @@ def bench_detector() -> dict:
     if flops:
         out["detector_mfu"] = round(flops / (dt / n_steps) / peak_flops_bf16(), 4)
         out["detector_tflops_per_step"] = round(flops / 1e12, 3)
+    return out
 
-    # batched TTA+NMS inference (the pseudo-labeling hot path)
+
+def bench_detector_tta() -> dict:
+    """Batched TTA+NMS inference (the pseudo-labeling hot path).
+
+    Its own section: the cold TTA-predict compile is the slowest compile in
+    the whole bench (>15 min through the tunnel) and must only ever be able
+    to kill THIS number, never the detector train-step numbers (round-3
+    incident: one fused section lost its already-measured train result to
+    the TTA compile deadline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gcssl_tpu.core.config import DetectorConfig
+    from gcssl_tpu.train.detector import (
+        create_detector_state,
+        make_detector_predict,
+    )
+
+    cfg = DetectorConfig(
+        batch_size=16, width_mult=0.75, depth_mult=0.67, aug_dtype="bfloat16"
+    )
+    state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+    b, s = cfg.batch_size, cfg.img_size
+    images = jax.random.randint(jax.random.PRNGKey(1), (b, s, s, 3), 0, 255,
+                                jnp.uint8)
     predict = make_detector_predict(cfg, model, max_out=300, pre_nms_topk=700)
-    images = images4[:, 0]
     res = predict(state.params, images, conf_thr=0.25, iou_thr=0.45, tta=True)
     np.asarray(res[1][0])
     n_steps = 10
@@ -243,8 +268,7 @@ def bench_detector() -> dict:
         res = predict(state.params, images, conf_thr=0.25, iou_thr=0.45, tta=True)
     np.asarray(res[1][0])
     dt = time.perf_counter() - t0
-    out["detector_tta_infer_imgs_per_sec"] = round(n_steps * b / dt, 1)
-    return out
+    return {"detector_tta_infer_imgs_per_sec": round(n_steps * b / dt, 1)}
 
 
 def bench_served() -> dict:
@@ -276,6 +300,7 @@ def bench_served() -> dict:
 SECTIONS = {
     "calibrator": bench_calibrator,
     "detector": bench_detector,
+    "detector_tta": bench_detector_tta,
     "served": bench_served,
 }
 
@@ -298,7 +323,20 @@ def _run_section(name: str) -> dict | None:
             capture_output=True, text=True, timeout=deadline, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # salvage a partial result: a section may have printed an interim
+        # RESULT_TAG line before a later compile ate its deadline
+        partial = e.stdout or b""
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
+        for line in reversed(partial.splitlines()):
+            if line.startswith(RESULT_TAG):
+                try:
+                    res = json.loads(line[len(RESULT_TAG):])
+                    res["_error"] = f"partial: timeout after {deadline:.0f}s"
+                    return res
+                except json.JSONDecodeError:
+                    break
         return {"_error": f"timeout after {deadline:.0f}s"}
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith(RESULT_TAG):
@@ -445,11 +483,13 @@ def main() -> None:
             print(f"bench: calibrator section failed: {err}", file=sys.stderr)
             headline = None
 
-        for name in ("detector", "served"):
+        for name in ("detector", "detector_tta", "served"):
             res = _run_section(name)
             if res and "_error" in res:
-                extras[f"{name}_bench_error"] = res["_error"]
-            elif res:
+                # a partial result still carries measured numbers — keep
+                # them alongside the error note
+                extras[f"{name}_bench_error"] = res.pop("_error")
+            if res:
                 extras.update(res)
             if headline is None and "detector_train_imgs_per_sec" in extras:
                 ips = extras.pop("detector_train_imgs_per_sec")
