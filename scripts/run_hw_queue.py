@@ -25,6 +25,15 @@ _MAE_M = ("runs/mae_11k_m/backbone.msgpack"
           if (ROOT / "runs/mae_11k_m/backbone.msgpack").exists()
           else "weights/mae_backbone_m.msgpack.gz")
 
+# m-scale loop-retrain recipe (mirrors scripts/run_loop_chain.py)
+M_SCALE = [
+    "labels_src=raw",
+    f"init_from={_MAE_M}",
+    "width_mult=0.75", "depth_mult=0.67", "batch_size=16", "lr=5e-4",
+    "aug_dtype=bfloat16",
+    "retrain_epochs=300",
+]
+
 M_CP = [
     f"init_from={_MAE_M}",
     "width_mult=0.75", "depth_mult=0.67", "batch_size=16", "lr=5e-4",
@@ -46,17 +55,28 @@ STAGES = [
     #    (round-3 verdict #5: the synthetic benchmarks saturated)
     ("runs/ssl_digits_ladder/results.json",
      [sys.executable, "scripts/run_ssl_digits_ladder.py"]),
-    # 1. clean m-scale loop chain (round-3 verdict #2/#3): the fixed
-    #    artifact gates wipe + re-run the corrupted loop_m, then chain two
-    #    more iterations toward detector parity (ref 0.5666 mAP50)
-    ("runs/loop_m3/loop_result.json",
-     [sys.executable, "scripts/run_loop_chain.py", "runs/loop_m",
-      "runs/loop_m2", "runs/loop_m3"]),
+    # 1. clean m-scale loop iteration (round-3 verdict #2): the fixed
+    #    artifact gates wipe + re-run the corrupted loop_m to a valid
+    #    positive delta — the single most important artifact of the round
+    ("runs/loop_m/loop_result.json",
+     [sys.executable, "scripts/run_loop_chain.py", "runs/loop_m"]),
     # 2. calibrator question (round-3 verdict #6): detector-level A/B of
     #    raw vs self-calibrated k-fold labels in the sloppy-pair regime
     ("runs/ab_calib/result.json",
      [sys.executable, "scripts/ab_calibrated_retrain.py"]),
-    # 3. finish the copy-paste accuracy A/B (round-2 weak #6; resumes ep85)
+    # 3. five BASELINE SSL configs on the HARD synthetic sets (round-3
+    #    verdict #5: the round-2 rows saturated at acc 1.0)
+    ("runs/ssl_hard/.queue_done",
+     [sys.executable, "scripts/run_ssl_configs.py"]),
+    # 4+5. chain two more loop iterations toward detector parity
+    #    (ref 0.5666 mAP50); each teacher is the previous retrain
+    ("runs/loop_m2/loop_result.json",
+     [sys.executable, "scripts/run_loop_r2.py", "runs/loop_m2",
+      "weights_dir=runs/loop_m/retrain", *M_SCALE]),
+    ("runs/loop_m3/loop_result.json",
+     [sys.executable, "scripts/run_loop_r2.py", "runs/loop_m3",
+      "weights_dir=runs/loop_m2/retrain", *M_SCALE]),
+    # 6. finish the copy-paste accuracy A/B (round-2 weak #6; resumes ep85)
     ("runs/det_m_cp/.queue_done",
      [sys.executable, "scripts/train_det_v2.py", "runs/det_m_cp",
       *M_CP, "copy_paste=0.5"]),

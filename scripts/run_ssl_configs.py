@@ -56,9 +56,20 @@ def main():
     for spec in CONFIGS:
         name = spec["name"]
         save_dir = Path("runs") / f"ssl_{name}"
-        if (save_dir / "results.json").exists():
-            print(f"[{name}] already done, skipping", flush=True)
-            continue
+        res_path = save_dir / "results.json"
+        if res_path.exists():
+            # round-2 results ran on the saturated easy synthetic sets
+            # (acc 1.0 measured nothing) — only skip a HARD-variant run
+            try:
+                done = json.loads(res_path.read_text()).get("synthetic_hard")
+            except (ValueError, OSError):
+                done = False
+            if done:
+                print(f"[{name}] already done (hard set), skipping",
+                      flush=True)
+                continue
+            print(f"[{name}] stale easy-set result — re-running on the "
+                  "hard set", flush=True)
         save_dir.mkdir(parents=True, exist_ok=True)
         cfg = SSLClassifierConfig(
             dataset=spec["dataset"], num_classes=spec["num_classes"],
@@ -107,6 +118,7 @@ def main():
         )
         summary = {
             "config": {k: v for k, v in spec.items()},
+            "synthetic_hard": True,
             "test_acc": test_acc, "test_ece": test_ece,
             "temperature": float(temp),
             "pseudo_kept": int(len(idx)),
