@@ -60,14 +60,17 @@ STAGES = [
     #    positive delta — the single most important artifact of the round
     ("runs/loop_m/loop_result.json",
      [sys.executable, "scripts/run_loop_chain.py", "runs/loop_m"]),
-    # 2. calibrator question (round-3 verdict #6): detector-level A/B of
-    #    raw vs self-calibrated k-fold labels in the sloppy-pair regime
-    ("runs/ab_calib/result.json",
-     [sys.executable, "scripts/ab_calibrated_retrain.py"]),
-    # 3. five BASELINE SSL configs on the HARD synthetic sets (round-3
-    #    verdict #5: the round-2 rows saturated at acc 1.0)
+    # 2. five BASELINE SSL configs on the HARD synthetic sets (round-3
+    #    verdict #5: the round-2 rows saturated at acc 1.0; ~40 min total
+    #    measured round 2)
     ("runs/ssl_hard/.queue_done",
      [sys.executable, "scripts/run_ssl_configs.py"]),
+    # 3. calibrator question (round-3 verdict #6): detector-level A/B of
+    #    raw vs self-calibrated k-fold labels in the sloppy-pair regime
+    #    (100-epoch arms keep the pair of retrains inside the round budget)
+    ("runs/ab_calib/result.json",
+     [sys.executable, "scripts/ab_calibrated_retrain.py",
+      "det_epochs=100", "patience=25"]),
     # 4+5. chain two more loop iterations toward detector parity
     #    (ref 0.5666 mAP50); each teacher is the previous retrain
     ("runs/loop_m2/loop_result.json",
