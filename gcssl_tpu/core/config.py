@@ -184,6 +184,9 @@ class DetectorConfig:
                                    # opts out); bf16 halves aug-stage HBM
                                    # traffic and is accuracy-neutral
                                    # (runs/det_m_mae/ab_step.json)
+    fused_opt: bool = True         # one-pass AdamW+EMA update (identical
+                                   # math/state to the optax chain; cuts
+                                   # optimizer HBM traffic ~2x per step)
 
 
 @dataclass

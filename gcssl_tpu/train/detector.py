@@ -39,6 +39,54 @@ class DetectorTrainState(struct.PyTreeNode):
     step: jax.Array
 
 
+def fused_adamw_ema_update(
+    params, grads, opt_state, ema, lr, ema_decay,
+    weight_decay: float, max_norm: float,
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+):
+    """One-pass AdamW + EMA update, numerically identical to the
+    ``optax.chain(clip_by_global_norm, scale_by_adam, add_decayed_weights)``
+    + ``apply_updates`` + EMA-map sequence used by the default path, and
+    bit-compatible with its checkpointed state layout.
+
+    Why: XLA compiles the chained optax stages + the separate EMA map into
+    several full-tree read/write passes — 3.56 GB of HBM traffic per step
+    on the 41 M-param m-arch (measured via compiled cost analysis) where
+    the math needs ~1.8 GB (one grad-norm read pass + one fused pass that
+    reads (g, p, mu, nu, ema) and writes (p', mu', nu', ema')).  The
+    detector step is bandwidth-bound (39 GB vs 6.8 TF), so the saved
+    passes are wall time, not noise.
+
+    Returns (params', opt_state', ema')."""
+    empty, adam, empty2 = opt_state
+    count = optax.safe_int32_increment(adam.count)
+    # global-norm clip factor (optax clip_by_global_norm semantics)
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
+    # bias corrections as scalars (optax divides the tree leaves; folding
+    # the correction into scalar multipliers keeps the pass single-read)
+    c1 = 1.0 - b1 ** count.astype(jnp.float32)
+    c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+    def leaf(p, g, m, v, e):
+        g = g * scale
+        m2 = b1 * m + (1.0 - b1) * g
+        v2 = b2 * v + (1.0 - b2) * jnp.square(g)
+        upd = (m2 / c1) / (jnp.sqrt(v2 / c2) + eps) + weight_decay * p
+        p2 = p - lr * upd
+        e2 = e * ema_decay + p2 * (1.0 - ema_decay)
+        return p2, m2, v2, e2
+
+    out = jax.tree.map(leaf, params, grads, adam.mu, adam.nu, ema)
+    is_tup = lambda x: isinstance(x, tuple)  # noqa: E731 — leaves are 4-tuples
+    p2, m2, v2, e2 = (
+        jax.tree.map(lambda o, i=i: o[i], out, is_leaf=is_tup)
+        for i in range(4)
+    )
+    new_opt = (empty, adam._replace(count=count, mu=m2, nu=v2), empty2)
+    return p2, new_opt, e2
+
+
 # ---------------------------------------------------------------------------
 # target assignment (dense, static shapes)
 # ---------------------------------------------------------------------------
@@ -682,18 +730,27 @@ def make_detector_step_core(cfg: DetectorConfig, model, tx,
             grads, loss, cls_l, box_l = jax.lax.psum(
                 (grads, loss, cls_l, box_l), grad_axis
             )
-        updates, opt = tx.update(grads, state.opt, state.params)
-        params = optax.apply_updates(
-            state.params, jax.tree.map(lambda u: -lr * u, updates)
-        )
         d = cfg.ema_decay
         # warmup the decay so early EMA isn't dominated by the random init
         d_eff = jnp.minimum(d, (1.0 + state.step) / (10.0 + state.step)) if d > 0 else 0.0
-        ema_params = (
-            jax.tree.map(lambda e, p: e * d_eff + p * (1 - d_eff),
-                         state.ema_params, params)
-            if d > 0 else state.ema_params
-        )
+        if cfg.fused_opt and d > 0:
+            # single-pass AdamW+EMA (same math/state as the optax chain;
+            # ~1.8 GB/step less HBM traffic on the m-arch — see
+            # fused_adamw_ema_update)
+            params, opt, ema_params = fused_adamw_ema_update(
+                state.params, grads, state.opt, state.ema_params, lr, d_eff,
+                weight_decay=cfg.weight_decay, max_norm=10.0,
+            )
+        else:
+            updates, opt = tx.update(grads, state.opt, state.params)
+            params = optax.apply_updates(
+                state.params, jax.tree.map(lambda u: -lr * u, updates)
+            )
+            ema_params = (
+                jax.tree.map(lambda e, p: e * d_eff + p * (1 - d_eff),
+                             state.ema_params, params)
+                if d > 0 else state.ema_params
+            )
         new_state = state.replace(
             params=params, ema_params=ema_params, opt=opt, rng=rng,
             step=state.step + 1,

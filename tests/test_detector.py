@@ -593,3 +593,85 @@ class TestAugDtype:
         )
         np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
         assert np.asarray(nm).sum() == 2 * m  # originals only
+
+
+class TestFusedOptimizer:
+    def test_fused_update_matches_optax_chain(self):
+        """fused_adamw_ema_update must be numerically identical (up to f32
+        roundoff) to the optax chain + apply_updates + EMA-map path, and
+        keep the exact checkpointed state layout, over several steps with
+        varying gradients (including one above the clip norm)."""
+        import optax
+
+        from gcssl_tpu.train.detector import fused_adamw_ema_update
+
+        rng = np.random.default_rng(0)
+        params = {
+            "a": jnp.asarray(rng.normal(size=(8, 4)), jnp.float32),
+            "b": {"w": jnp.asarray(rng.normal(size=(5,)), jnp.float32)},
+        }
+        wd, max_norm, lr, d = 5e-4, 10.0, 1e-3, 0.99
+        tx = optax.chain(
+            optax.clip_by_global_norm(max_norm),
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(wd),
+        )
+        p_ref = p_fused = params
+        ema_ref = ema_fused = jax.tree.map(lambda x: x + 0.0, params)
+        opt_ref = opt_fused = tx.init(params)
+        for i, gscale in enumerate([1.0, 100.0, 0.01]):  # 100x trips the clip
+            grads = jax.tree.map(
+                lambda x: jnp.asarray(
+                    rng.normal(size=x.shape) * gscale, jnp.float32), p_ref)
+            updates, opt_ref = tx.update(grads, opt_ref, p_ref)
+            p_ref = optax.apply_updates(
+                p_ref, jax.tree.map(lambda u: -lr * u, updates))
+            ema_ref = jax.tree.map(lambda e, p: e * d + p * (1 - d),
+                                   ema_ref, p_ref)
+            p_fused, opt_fused, ema_fused = fused_adamw_ema_update(
+                p_fused, grads, opt_fused, ema_fused, lr, d,
+                weight_decay=wd, max_norm=max_norm)
+            for name, ref, fused in (
+                ("params", p_ref, p_fused),
+                ("ema", ema_ref, ema_fused),
+                ("mu", opt_ref[1].mu, opt_fused[1].mu),
+                ("nu", opt_ref[1].nu, opt_fused[1].nu),
+            ):
+                r = np.concatenate([np.ravel(x) for x in
+                                    jax.tree_util.tree_leaves(ref)])
+                f = np.concatenate([np.ravel(x) for x in
+                                    jax.tree_util.tree_leaves(fused)])
+                np.testing.assert_allclose(
+                    f, r, rtol=2e-6, atol=1e-7,
+                    err_msg=f"{name} diverged at step {i}")
+            assert int(opt_fused[1].count) == i + 1
+        # state layout identical (checkpoint compatibility)
+        assert jax.tree.structure(opt_fused) == jax.tree.structure(opt_ref)
+
+    def test_step_with_fused_opt_matches_reference_path(self):
+        """The full train step produces the same loss trajectory with
+        fused_opt on and off."""
+        cfg_f = small_cfg(fused_opt=True, img_size=64, mosaic_max_boxes=16)
+        cfg_r = small_cfg(fused_opt=False, img_size=64, mosaic_max_boxes=16)
+        b, s, mb = cfg_f.batch_size, cfg_f.img_size, cfg_f.max_boxes
+        k = jax.random.split(jax.random.PRNGKey(3), 3)
+        images4 = jax.random.randint(k[0], (b, 4, s, s, 3), 0, 255, jnp.uint8)
+        boxes4 = jnp.concatenate([
+            jax.random.uniform(k[1], (b, 4, mb, 2), minval=0.3, maxval=0.7),
+            jax.random.uniform(k[2], (b, 4, mb, 2), minval=0.1, maxval=0.25),
+        ], axis=-1)
+        mask4 = jnp.broadcast_to(jnp.arange(mb)[None, None, :] < 3,
+                                 (b, 4, mb))
+        w = jnp.ones(b, jnp.float32)
+        lr = jnp.float32(1e-3)
+        traj = {}
+        for name, cfg in (("fused", cfg_f), ("ref", cfg_r)):
+            state, model, tx = create_detector_state(cfg, jax.random.PRNGKey(1))
+            step = make_detector_train_step(cfg, model, tx)
+            losses = []
+            for _ in range(3):
+                state, m = step(state, images4, boxes4, mask4, w, lr)
+                losses.append(float(m["loss"]))
+            traj[name] = losses
+        np.testing.assert_allclose(traj["fused"], traj["ref"],
+                                   rtol=1e-4, atol=1e-6)
