@@ -64,7 +64,7 @@ STAGES = [
     #    verdict #5: the round-2 rows saturated at acc 1.0; ~40 min total
     #    measured round 2)
     ("runs/ssl_hard/.queue_done",
-     [sys.executable, "scripts/run_ssl_configs.py"]),
+     [sys.executable, "scripts/run_ssl_configs.py", "seeds=2"]),
     # 3. calibrator question (round-3 verdict #6): detector-level A/B of
     #    raw vs self-calibrated k-fold labels in the sloppy-pair regime
     #    (100-epoch arms keep the pair of retrains inside the round budget)

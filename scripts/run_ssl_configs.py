@@ -52,7 +52,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    epochs_override = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    epochs_override, n_seeds = None, 1
+    for arg in sys.argv[1:]:
+        if arg.startswith("seeds="):
+            n_seeds = int(arg.split("=", 1)[1])
+        else:
+            epochs_override = int(arg)
     for spec in CONFIGS:
         name = spec["name"]
         save_dir = Path("runs") / f"ssl_{name}"
@@ -79,57 +84,79 @@ def main():
         # unlabeled-heavy pool sized to keep full-epoch wall time sane;
         # imagenet32 config is the unlabeled-heaviest (BASELINE configs[4])
         n_train = 30000 if spec["dataset"] == "imagenet32" else 20000
-        data = synthetic_classification_set(
-            num_classes=cfg.num_classes, channels=spec["channels"],
-            n_train=n_train, n_test=2000, seed=0,
-        )
-        splits = make_ssl_splits(*data, cfg.num_labeled, cfg.num_classes)
-        print(f"[{name}] lab={len(splits.x_lab)} unlab={len(splits.x_unlab)} "
-              f"epochs={cfg.epochs} d_arch={cfg.d_arch}", flush=True)
-
-        hist = []
+        per_seed = []
         t0 = time.time()
+        for seed in range(n_seeds):
+            data = synthetic_classification_set(
+                num_classes=cfg.num_classes, channels=spec["channels"],
+                n_train=n_train, n_test=2000, seed=seed,
+            )
+            splits = make_ssl_splits(*data, cfg.num_labeled, cfg.num_classes,
+                                     seed=42 + seed)
+            print(f"[{name}] seed {seed}: lab={len(splits.x_lab)} "
+                  f"unlab={len(splits.x_unlab)} epochs={cfg.epochs} "
+                  f"d_arch={cfg.d_arch}", flush=True)
 
-        def log_fn(rec):
-            hist.append(rec)
-            if rec["epoch"] % 10 == 0 or rec["epoch"] == 1:
-                print(f"[{name}] ep {rec['epoch']} acc "
-                      f"{rec.get('val_acc', -1):.4f} ece "
-                      f"{rec.get('val_ece', -1):.4f} ({time.time()-t0:.0f}s)",
-                      flush=True)
+            hist = []
 
-        state, (g_model, d_model), history = train_ssl_classifier(
-            cfg, splits.x_lab, splits.y_lab, splits.x_unlab,
-            splits.x_val, splits.y_val, log_fn=log_fn,
-        )
+            def log_fn(rec):
+                hist.append(rec)
+                if rec["epoch"] % 10 == 0 or rec["epoch"] == 1:
+                    print(f"[{name}] s{seed} ep {rec['epoch']} acc "
+                          f"{rec.get('val_acc', -1):.4f} ece "
+                          f"{rec.get('val_ece', -1):.4f} "
+                          f"({time.time()-t0:.0f}s)", flush=True)
 
-        # final test metrics + calibrated pseudo-labeling summary
-        classify = make_classify_fn(cfg, d_model)
-        logits = np.concatenate([
-            np.asarray(classify(state.d_params, jnp.asarray(splits.x_test[i:i+256])))
-            for i in range(0, len(splits.x_test), 256)
-        ])
-        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
-        test_acc = float((logits.argmax(1) == splits.y_test).mean())
-        test_ece = expected_calibration_error(probs, splits.y_test)
-        idx, labels, confs, temp = pseudo_label_unlabeled(
-            cfg, d_model, state.d_params, splits.x_unlab,
-            splits.x_val, splits.y_val,
-        )
+            state, (g_model, d_model), history = train_ssl_classifier(
+                cfg, splits.x_lab, splits.y_lab, splits.x_unlab,
+                splits.x_val, splits.y_val, log_fn=log_fn,
+            )
+
+            # final test metrics + calibrated pseudo-labeling summary
+            classify = make_classify_fn(cfg, d_model)
+            logits = np.concatenate([
+                np.asarray(classify(state.d_params,
+                                    jnp.asarray(splits.x_test[i:i+256])))
+                for i in range(0, len(splits.x_test), 256)
+            ])
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+            test_acc = float((logits.argmax(1) == splits.y_test).mean())
+            test_ece = expected_calibration_error(probs, splits.y_test)
+            idx, labels, confs, temp = pseudo_label_unlabeled(
+                cfg, d_model, state.d_params, splits.x_unlab,
+                splits.x_val, splits.y_val,
+            )
+            per_seed.append({
+                "seed": seed,
+                "test_acc": test_acc, "test_ece": test_ece,
+                "temperature": float(temp),
+                "pseudo_kept": int(len(idx)),
+                "pseudo_pool": int(len(splits.x_unlab)),
+                "history": history,
+            })
+            print(f"[{name}] s{seed} DONE test_acc {test_acc:.4f} ece "
+                  f"{test_ece:.4f} T {temp:.3f} kept "
+                  f"{len(idx)}/{len(splits.x_unlab)}", flush=True)
+
+        accs = np.array([r["test_acc"] for r in per_seed])
+        eces = np.array([r["test_ece"] for r in per_seed])
         summary = {
             "config": {k: v for k, v in spec.items()},
             "synthetic_hard": True,
-            "test_acc": test_acc, "test_ece": test_ece,
-            "temperature": float(temp),
-            "pseudo_kept": int(len(idx)),
-            "pseudo_pool": int(len(splits.x_unlab)),
+            "epochs_run": cfg.epochs,
+            "n_seeds": n_seeds,
+            # mean over seeds; per-seed detail in "seeds"
+            "test_acc": round(float(accs.mean()), 4),
+            "test_acc_std": round(float(accs.std()), 4),
+            "test_ece": round(float(eces.mean()), 4),
+            "test_ece_std": round(float(eces.std()), 4),
             "wall_s": round(time.time() - t0, 1),
-            "history": history,
+            "seeds": per_seed,
         }
         (save_dir / "results.json").write_text(json.dumps(summary, indent=1))
-        print(f"[{name}] DONE test_acc {test_acc:.4f} ece {test_ece:.4f} "
-              f"T {temp:.3f} kept {len(idx)}/{len(splits.x_unlab)} "
-              f"({summary['wall_s']}s)", flush=True)
+        print(f"[{name}] DONE acc {summary['test_acc']}±"
+              f"{summary['test_acc_std']} ece {summary['test_ece']}±"
+              f"{summary['test_ece_std']} ({summary['wall_s']}s)", flush=True)
 
 
 if __name__ == "__main__":
