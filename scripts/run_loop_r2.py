@@ -41,6 +41,38 @@ def pair_tree_ok(root: Path, expect: int | None = None) -> bool:
     return expect is None or len(imgs) == expect
 
 
+def repair_pair_tree(root: Path, source_images: Path,
+                     expect: int | None = None) -> bool:
+    """Reconstitute a pair tree whose images/ was wiped by a workspace reset.
+
+    Pseudo-label .txt files are small and git-committed; the images beside
+    them are verbatim copies of dataset files selected by stem.  When every
+    label's source image still exists in the pool, re-copying them restores
+    the exact tree without re-running the (expensive) predict stage.
+    Returns True iff the tree is valid afterwards."""
+    import shutil
+
+    lbls = sorted((root / "labels").glob("*.txt"))
+    if not lbls or (expect is not None and len(lbls) != expect):
+        return False
+    by_stem = {p.stem: p for p in Path(source_images).glob("*") if p.is_file()}
+    img_dir = root / "images"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    have = {p.stem for p in img_dir.glob("*") if p.is_file()}
+    copied = 0
+    for lbl in lbls:
+        if lbl.stem in have:
+            continue
+        src = by_stem.get(lbl.stem)
+        if src is None:
+            return False
+        shutil.copy2(src, img_dir / src.name)
+        copied += 1
+    if copied:
+        say(f"repair_pair_tree: re-copied {copied} images into {img_dir}")
+    return pair_tree_ok(root, expect)
+
+
 def main():
     import jax
 
@@ -142,6 +174,14 @@ def main():
         # gate on the real artifacts, not the marker: the tree must hold
         # exactly the recorded number of image+label pairs
         rec = json.loads(counts_path.read_text())
+        if not pair_tree_ok(stage2_high, rec.get("stage2_high")) and \
+                repair_pair_tree(stage2_high, DATA / "unlabels" / "images",
+                                 rec.get("stage2_high")):
+            # images/ wiped by a reset but the committed labels + dataset
+            # pool fully determine the tree — repaired in place; downstream
+            # merged/ is rebuilt below because its own images died too
+            say(f"two-stage artifacts under {stage2_high} repaired from the "
+                "unlabeled pool")
         if not pair_tree_ok(stage2_high, rec.get("stage2_high")):
             say(f"two-stage artifacts INVALID under {stage2_high} "
                 f"(expected {rec.get('stage2_high')} pairs) — re-running")
@@ -226,6 +266,13 @@ def main():
     result_path = work / "loop_result.json"
     if not result_path.exists():
         from gcssl_tpu.pipeline.iterate import merge_labeled_and_pseudo, retrain_on_merged
+
+        if merged_dir.exists() and not pair_tree_ok(merged_dir):
+            # half-wiped leftover from a reset; the merge below rewrites it
+            import shutil
+
+            say(f"stale merged tree under {merged_dir} — rebuilding")
+            shutil.rmtree(merged_dir)
 
         # labels_src="raw" trains on the uncalibrated stage-2 labels.
         # Measured this round: the calibrator trained on the REFERENCE

@@ -153,3 +153,49 @@ class TestIterateMerge:
             lab, pi, pl, tmp_path / "merged2", strict=False
         )
         assert n == 1
+
+
+class TestRepairPairTree:
+    """scripts/run_loop_r2.repair_pair_tree: reconstitute reset-wiped
+    images/ from the source pool by label stem (round-3: saves re-running
+    the ~30-min two-stage predict after a workspace reset)."""
+
+    def _load(self):
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "run_loop_r2", Path(__file__).parent.parent / "scripts" / "run_loop_r2.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_repairs_wiped_images(self, tmp_path):
+        rl = self._load()
+        pool = tmp_path / "pool"
+        pool.mkdir()
+        for s in ("a", "b"):
+            (pool / f"{s}.jpg").write_bytes(b"img" + s.encode())
+        tree = tmp_path / "tree"
+        (tree / "labels").mkdir(parents=True)
+        for s in ("a", "b"):
+            (tree / "labels" / f"{s}.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+        assert not rl.pair_tree_ok(tree, 2)
+        assert rl.repair_pair_tree(tree, pool, 2)
+        assert rl.pair_tree_ok(tree, 2)
+        assert (tree / "images" / "a.jpg").read_bytes() == b"imga"
+
+    def test_refuses_when_source_missing_or_count_wrong(self, tmp_path):
+        rl = self._load()
+        pool = tmp_path / "pool"
+        pool.mkdir()
+        (pool / "a.jpg").write_bytes(b"x")
+        tree = tmp_path / "tree"
+        (tree / "labels").mkdir(parents=True)
+        (tree / "labels" / "a.txt").write_text("0 .5 .5 .2 .2\n")
+        (tree / "labels" / "gone.txt").write_text("0 .5 .5 .2 .2\n")
+        # 'gone' has no pool image -> repair must fail, not half-copy
+        assert not rl.repair_pair_tree(tree, pool, 2)
+        # recorded count mismatch -> refuse outright
+        assert not rl.repair_pair_tree(tree, pool, 5)
