@@ -1,0 +1,41 @@
+"""Run a command with the hardware work queue SIGSTOPped.
+
+Usage: python scripts/with_queue_paused.py [--timeout S] -- cmd [args...]
+
+Any timed measurement on the one chip (profiling, ad-hoc benches) must not
+share it with the queue's training process; this borrows bench.py's
+_paused_queue (SIGCONT guaranteed via atexit/SIGTERM handlers, ancestry
+protection, descendant re-sweep).
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import _paused_queue  # noqa: E402
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    timeout = None
+    if args[:1] == ["--timeout"]:
+        timeout = float(args[1])
+        args = args[2:]
+    if args[:1] == ["--"]:
+        args = args[1:]
+    if not args:
+        print(__doc__)
+        return 2
+    with _paused_queue():
+        try:
+            return subprocess.run(args, timeout=timeout).returncode
+        except subprocess.TimeoutExpired:
+            print(f"[with_queue_paused] timeout after {timeout}s",
+                  file=sys.stderr)
+            return 124
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
