@@ -160,6 +160,18 @@ def main():
             n_img = link_images(tree / "labels", tree)
             say(f"arm {arm}: {kept} boxes over {n_img} images (conf>={conf_thr})")
             (tree / ".done").write_text(f"{kept} {n_img}")
+        else:
+            # images/ are symlinks under runs/**/images/ (gitignored): a
+            # workspace reset deletes them while labels + .done survive —
+            # re-link unconditionally (idempotent) so the arm never trains
+            # on an empty tree (round-2 loop_m corruption class)
+            n_img = link_images(tree / "labels", tree)
+            n_lbl = len(list((tree / "labels").glob("*.txt")))
+            if n_img != n_lbl:
+                raise RuntimeError(
+                    f"arm {arm}: {n_lbl} labels but only {n_img} images "
+                    f"re-linked under {tree}"
+                )
         arms[arm] = tree
 
     # ---- 4. train both arms ----
