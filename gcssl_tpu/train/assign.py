@@ -52,13 +52,26 @@ def tal_assign(
     align = (pred_probs[None, :] ** alpha) * (iou ** beta)
     align = jnp.where(inside, align, 0.0)
 
-    # top-k anchors per GT (static k); a slot only counts if align > 0
+    # top-k anchors per GT (static k); a slot only counts if align > 0.
+    # NOT lax.top_k + scatter: top_k lowers to a full per-row sort on TPU
+    # (G x N rows of 8400) and the scatter is serial — together ~23 ms of
+    # an 84 ms train step at batch 16 (runs/det_m_mae/profile.json).  k
+    # unrolled argmax-and-mask passes are pure VPU reductions with the
+    # same selection (ties to the lower index, like top_k).
     k = min(topk, n)
-    topv, topi = jax.lax.top_k(align, k)  # (G, k)
-    sel = jnp.zeros_like(align, dtype=bool)
-    g_idx = jnp.broadcast_to(jnp.arange(align.shape[0])[:, None], topi.shape)
-    sel = sel.at[g_idx.reshape(-1), topi.reshape(-1)].set(True)
-    sel = sel & (align > 0.0)
+
+    def take_max(carry, _):
+        a, sel = carry
+        idx = jnp.argmax(a, axis=1)                       # (G,)
+        hit = jax.nn.one_hot(idx, n, dtype=bool)          # (G, N)
+        pos_ok = jnp.take_along_axis(a, idx[:, None], 1) > 0.0
+        sel = sel | (hit & pos_ok)
+        a = jnp.where(hit, -jnp.inf, a)
+        return (a, sel), None
+
+    (_, sel), _ = jax.lax.scan(
+        take_max, (align, jnp.zeros_like(align, dtype=bool)), length=k
+    )
 
     # resolve anchors claimed by several GTs: keep the max-IoU GT
     claimed_iou = jnp.where(sel, iou, -1.0)          # (G, N)
