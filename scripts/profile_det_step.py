@@ -32,11 +32,16 @@ def timeit(fn, *args, n=20, fetch=None, **kw):
 
 
 def _force(x):
+    """Force remote completion with a SCALAR D2H: device_get of a whole
+    array drags it through the ~MB/s axon tunnel (a 39 MB image batch
+    reads as ~250 ms/step of phantom time); a device-side sum reduces the
+    fetch to 4 bytes while still fencing everything upstream."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    np.asarray(jax.device_get(jnp.sum(leaf.astype(jnp.float32))))
 
 
 def main():
