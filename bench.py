@@ -45,9 +45,16 @@ import numpy as np
 BASELINE_IMGS_PER_SEC = 53.0      # RTX 2070, reference committed CGAN run
 BASELINE_DET_IMGS_PER_SEC = 50.0  # reference teacher train throughput
 
-SECTION_DEADLINES_S = {"calibrator": 320.0, "detector": 160.0,
-                       "detector_tta": 120.0, "served": 40.0}
-TOTAL_DEADLINE_S = 540.0  # absolute wall budget from process start
+SECTION_DEADLINES_S = {"calibrator": 420.0, "detector": 300.0,
+                       "detector_tta": 150.0, "served": 40.0}
+# Deadlines sized from WARM-cache dress runs on the 1-core VM: even with
+# every executable cached, tracing to HLO is host-side work no cache can
+# skip — the unrolled n_critic WGAN-GP step traces in ~4-5 min
+# (runs/bench_dress.log: 300 s timed out warm), the fused detector step in
+# ~2-3 min (160 s timed out warm, runs/bench_reprime2.log).  Long budgets
+# are safe for the driver window because results print incrementally: the
+# provisional record at ~20 s, each section's line the moment it lands.
+TOTAL_DEADLINE_S = 960.0  # absolute wall budget from process start
 # Persistent XLA-executable cache in a GIT-TRACKED dir: remote compiles
 # through the tunneled TPU run 4-8 min cold (measured round 3) but ~10 s
 # from cache, and runs/_cache/ does not survive workspace resets.  The
