@@ -45,16 +45,17 @@ import numpy as np
 BASELINE_IMGS_PER_SEC = 53.0      # RTX 2070, reference committed CGAN run
 BASELINE_DET_IMGS_PER_SEC = 50.0  # reference teacher train throughput
 
-SECTION_DEADLINES_S = {"calibrator": 420.0, "detector": 300.0,
-                       "detector_tta": 150.0, "served": 40.0}
-# Deadlines sized from WARM-cache dress runs on the 1-core VM: even with
-# every executable cached, tracing to HLO is host-side work no cache can
-# skip — the unrolled n_critic WGAN-GP step traces in ~4-5 min
-# (runs/bench_dress.log: 300 s timed out warm), the fused detector step in
-# ~2-3 min (160 s timed out warm, runs/bench_reprime2.log).  Long budgets
-# are safe for the driver window because results print incrementally: the
-# provisional record at ~20 s, each section's line the moment it lands.
-TOTAL_DEADLINE_S = 960.0  # absolute wall budget from process start
+SECTION_DEADLINES_S = {"calibrator": 480.0, "detector": 420.0,
+                       "detector_tta": 180.0, "served": 60.0}
+# Deadlines sized from WARM-cache dress runs on the 1-core VM, with margin:
+# the sections are LATENCY-bound through the axon tunnel, not compute-bound
+# (detector section: 2m55s wall, 24s cpu — runs/sec_det.log), so run-to-run
+# variance is large.  Warm floors measured: calibrator ~5 min (tracing the
+# unrolled n_critic WGAN-GP step is host work no executable cache skips),
+# detector ~3 min, TTA ~1.5 min.  Long budgets are safe for the driver
+# window because results print incrementally: the provisional record at
+# ~20 s, each section's line the moment it lands.
+TOTAL_DEADLINE_S = 1260.0  # absolute wall budget from process start
 # Persistent XLA-executable cache in a GIT-TRACKED dir: remote compiles
 # through the tunneled TPU run 4-8 min cold (measured round 3) but ~10 s
 # from cache, and runs/_cache/ does not survive workspace resets.  The
@@ -464,6 +465,7 @@ def main() -> None:
         return
 
     # provisional headline from the in-round record (see LIVE_RECORD)
+    rec = None
     try:
         with open(LIVE_RECORD) as f:
             rec = json.load(f)
@@ -521,7 +523,17 @@ def main() -> None:
                 print(json.dumps(headline), flush=True)
 
     if headline is None:
-        raise SystemExit(3)
+        if rec and "metric" in rec:
+            # the live headline re-measure failed, but the in-round record
+            # is a real this-chip measurement and this run's surviving
+            # section numbers must not be discarded: merge them into it
+            # (the final printed line stays a valid record for the driver)
+            headline = {k: v for k, v in rec.items()
+                        if k not in ("provisional",)}
+            headline["headline_from"] = rec.get("measured_at",
+                                                "in-round record")
+        else:
+            raise SystemExit(3)
     if extras:
         print(json.dumps({**headline, **extras}), flush=True)
     try:
