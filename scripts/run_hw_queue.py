@@ -10,6 +10,13 @@ exit.  Every stage command is itself resume-safe (checkpoint resume /
 artifact-gated sub-stages), so the queue can be killed and relaunched at
 any point — run it under ``gcssl_tpu.utils.watchdog`` with ``--probe`` so
 TPU-tunnel outages park the queue instead of burning restarts.
+
+Round-4 order (VERDICT r3 "Next round"): live bench first (fresh record +
+cache prime), then the retrain-schedule A/B, then the loop chain toward
+detector parity (>=0.5666 mAP50), then the calibrator detector-level A/B,
+the hard-set SSL configs, and a final loop_m3 iteration.  Each stage's
+result artifacts are git-committed the moment it lands (round-3 weak #4:
+the round's headline science died untracked at snapshot twice).
 """
 
 import subprocess
@@ -19,71 +26,82 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 
-# run checkpoints are gitignored and do not survive workspace resets;
-# fall back to the git-tracked release backbone (core/release.py)
-_MAE_M = ("runs/mae_11k_m/backbone.msgpack"
-          if (ROOT / "runs/mae_11k_m/backbone.msgpack").exists()
-          else "weights/mae_backbone_m.msgpack.gz")
-
-# m-scale loop-retrain recipe (mirrors scripts/run_loop_chain.py)
-M_SCALE = [
-    "labels_src=raw",
-    f"init_from={_MAE_M}",
-    "width_mult=0.75", "depth_mult=0.67", "batch_size=16", "lr=5e-4",
-    "aug_dtype=bfloat16",
-    "retrain_epochs=300",
-]
-
-M_CP = [
-    f"init_from={_MAE_M}",
-    "width_mult=0.75", "depth_mult=0.67", "batch_size=16", "lr=5e-4",
-    "epochs=300", "patience=50", "resume=1",
-    "aug_dtype=bfloat16",  # +9% step throughput (runs/det_m_mae/ab_step.json)
-]
+# m-scale loop-retrain recipe shared flags live in scripts/run_loop_iter.py
 
 STAGES = [
-    # 0. bench with wide deadlines: records real numbers in
-    #    runs/bench_live.json (the provisional headline for later runs)
-    #    and primes the local+remote compile caches — a cold remote
-    #    compile can exceed the driver's bench window (round-2 rc=124)
-    ("runs/bench_live.json",
+    # 0. fused live bench with wide deadlines: records real numbers in
+    #    runs/bench_live.json, writes the touched cache keys, and primes
+    #    the local+remote compile caches (round-2 rc=124 failure class)
+    ("runs/.bench_r4.queue_done",
      [sys.executable, "bench.py"],
-     {"BENCH_DEADLINE_CALIBRATOR": "900", "BENCH_DEADLINE_DETECTOR": "900",
-      "BENCH_TOTAL_DEADLINE_S": "2400",
-      "JAX_COMPILATION_CACHE_DIR": ".xla_cache"}),
-    # 0b. real-data SSL ladder: digits at 20/50/100 labels x 3 seeds
-    #    (round-3 verdict #5: the synthetic benchmarks saturated)
-    ("runs/ssl_digits_ladder/results.json",
-     [sys.executable, "scripts/run_ssl_digits_ladder.py"]),
-    # 1. clean m-scale loop iteration (round-3 verdict #2): the fixed
-    #    artifact gates wipe + re-run the corrupted loop_m to a valid
-    #    positive delta — the single most important artifact of the round
-    ("runs/loop_m/loop_result.json",
-     [sys.executable, "scripts/run_loop_chain.py", "runs/loop_m"]),
-    # 2. five BASELINE SSL configs on the HARD synthetic sets (round-3
-    #    verdict #5: the round-2 rows saturated at acc 1.0; ~40 min total
-    #    measured round 2)
-    ("runs/ssl_hard/.queue_done",
-     [sys.executable, "scripts/run_ssl_configs.py", "seeds=2"]),
-    # 3. calibrator question (round-3 verdict #6): detector-level A/B of
+     {"env": {"BENCH_TOTAL_DEADLINE_S": "2400"},
+      "commit": ["runs/bench_live.json", "runs/bench_cache_keys.json"]}),
+    # 1. retrain-schedule A/B on loop_m's frozen merge (round-3 weak #3:
+    #    best at ep15 of a 300-ep cosine) — decides the loop_m2/m3 regime
+    ("runs/loop_m_ft/ab_result.json",
+     [sys.executable, "scripts/ft_retrain_ab.py"],
+     {"commit": ["runs/loop_m_ft/ab_result.json", "runs/loop_m_ft/best.json",
+                 "runs/loop_m_ft/results.json",
+                 "weights/detector_loop_m_ft.msgpack.gz"]}),
+    # 2. loop iteration 2: teacher = loop_m retrain (0.5587); regime from
+    #    the A/B above.  Target: >= reference 0.5666 mAP50
+    ("runs/loop_m2/loop_result.json",
+     [sys.executable, "scripts/run_loop_iter.py", "runs/loop_m2",
+      "teacher=runs/loop_m/retrain",
+      "teacher_release=weights/detector_loop_m.msgpack.gz"],
+     {"commit": ["runs/loop_m2", "weights/detector_loop_m2.msgpack.gz",
+                 "weights/detector_loop_m2_snapshot.msgpack.gz"]}),
+    # 3. calibrator question (round-3 verdict #2): detector-level A/B of
     #    raw vs self-calibrated k-fold labels in the sloppy-pair regime
-    #    (100-epoch arms keep the pair of retrains inside the round budget)
     ("runs/ab_calib/result.json",
      [sys.executable, "scripts/ab_calibrated_retrain.py",
-      "det_epochs=100", "patience=25"]),
-    # 4+5. chain two more loop iterations toward detector parity
-    #    (ref 0.5666 mAP50); each teacher is the previous retrain
-    ("runs/loop_m2/loop_result.json",
-     [sys.executable, "scripts/run_loop_r2.py", "runs/loop_m2",
-      "weights_dir=runs/loop_m/retrain", *M_SCALE]),
+      "det_epochs=100", "patience=25"],
+     {"commit": ["runs/ab_calib/result.json",
+                 "weights/calibrator_self_g.msgpack.gz"]}),
+    # 4. five BASELINE SSL configs on the HARD synthetic sets (round-3
+    #    verdict #3: round-2 rows saturated at acc 1.0; ~40 min measured)
+    ("runs/ssl_hard/.queue_done",
+     [sys.executable, "scripts/run_ssl_configs.py", "seeds=2"],
+     {"commit": ["runs/ssl_mnist_100", "runs/ssl_svhn_1000",
+                 "runs/ssl_cifar10_4000", "runs/ssl_cifar100_10k",
+                 "runs/ssl_imagenet32"]}),
+    # 5. loop iteration 3: teacher = loop_m2 retrain
     ("runs/loop_m3/loop_result.json",
-     [sys.executable, "scripts/run_loop_r2.py", "runs/loop_m3",
-      "weights_dir=runs/loop_m2/retrain", *M_SCALE]),
-    # 6. finish the copy-paste accuracy A/B (round-2 weak #6; resumes ep85)
-    ("runs/det_m_cp/.queue_done",
-     [sys.executable, "scripts/train_det_v2.py", "runs/det_m_cp",
-      *M_CP, "copy_paste=0.5"]),
+     [sys.executable, "scripts/run_loop_iter.py", "runs/loop_m3",
+      "teacher=runs/loop_m2/retrain",
+      "teacher_release=weights/detector_loop_m2.msgpack.gz"],
+     {"commit": ["runs/loop_m3", "weights/detector_loop_m3.msgpack.gz",
+                 "weights/detector_loop_m3_snapshot.msgpack.gz"]}),
 ]
+
+
+def _commit(paths: list[str], marker: str) -> None:
+    """Commit stage artifacts the moment they land (runs/**/*.msgpack and
+    image trees stay gitignored; only metrics/weights/history go in).
+    Retries around a concurrent index lock; never fails the stage."""
+    import os
+
+    existing = [p for p in paths if (ROOT / p).exists()]
+    if not existing:
+        return
+    for attempt in range(5):
+        add = subprocess.run(["git", "add", "--"] + existing, cwd=ROOT,
+                             capture_output=True, text=True)
+        if add.returncode == 0:
+            break
+        time.sleep(3.0 * (attempt + 1))
+    staged = subprocess.run(["git", "diff", "--cached", "--quiet"], cwd=ROOT)
+    if staged.returncode == 0:
+        return  # nothing new
+    msg = f"Queue artifact: {marker}"
+    for attempt in range(5):
+        rc = subprocess.run(["git", "commit", "-q", "-m", msg], cwd=ROOT,
+                            capture_output=True, text=True).returncode
+        if rc == 0:
+            print(f"[queue] committed: {marker}", flush=True)
+            return
+        time.sleep(3.0 * (attempt + 1))
+    print(f"[queue] WARNING: commit failed for {marker}", flush=True)
 
 
 def main() -> int:
@@ -92,6 +110,13 @@ def main() -> int:
     # the recorded throughput); see bench._paused_queue
     import os
 
+    # one persistent XLA-executable cache for EVERY stage (absolute path:
+    # the dir string is baked into the cache keys — a relative spelling
+    # creates a disjoint key space, the round-3 priming failure): trainer
+    # step compiles (~5-15 min cold through the tunnel) become ~10 s warm
+    # after a watchdog restart or workspace reset
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          str(ROOT / ".xla_cache"))
     pidfile = ROOT / "runs" / ".hw_queue.pid"
     pidfile.parent.mkdir(parents=True, exist_ok=True)
     # refuse to double-run: a second queue would overwrite the pidfile and
@@ -110,12 +135,13 @@ def main() -> int:
     pidfile.write_text(str(os.getpid()))
     failed = []
     for marker, argv, *opt in STAGES:
+        opts = opt[0] if opt else {}
         mpath = ROOT / marker
         if mpath.exists():
             print(f"[queue] skip (done): {marker}", flush=True)
             continue
         print(f"[queue] run: {' '.join(argv[1:])}", flush=True)
-        env = {**os.environ, **(opt[0] if opt else {})}
+        env = {**os.environ, **opts.get("env", {})}
         rc = subprocess.run(argv, cwd=ROOT, env=env).returncode
         if rc != 0:
             # keep going: a persistently-failing early stage must not starve
@@ -127,6 +153,8 @@ def main() -> int:
         if marker.endswith(".queue_done"):
             mpath.parent.mkdir(parents=True, exist_ok=True)
             mpath.write_text(time.strftime("%Y-%m-%dT%H:%M:%S"))
+        if opts.get("commit"):
+            _commit(opts["commit"], marker)
     pidfile.unlink(missing_ok=True)
     if failed:
         print(f"[queue] finished with failures: {failed}", flush=True)

@@ -55,17 +55,29 @@ def repair_pair_tree(root: Path, source_images: Path,
     lbls = sorted((root / "labels").glob("*.txt"))
     if not lbls or (expect is not None and len(lbls) != expect):
         return False
-    by_stem = {p.stem: p for p in Path(source_images).glob("*") if p.is_file()}
+    # deterministic on duplicate stems (a.jpg vs a.png): lexicographically
+    # smallest name wins regardless of glob order
+    by_stem: dict[str, Path] = {}
+    for p in sorted(Path(source_images).glob("*")):
+        if p.is_file() and (p.stem not in by_stem
+                            or p.name < by_stem[p.stem].name):
+            by_stem[p.stem] = p
     img_dir = root / "images"
     img_dir.mkdir(parents=True, exist_ok=True)
     have = {p.stem for p in img_dir.glob("*") if p.is_file()}
+    # validate EVERY stem resolves before copying anything: repair must
+    # fail atomically, never leave a half-copied images/ tree
+    missing = [l.stem for l in lbls
+               if l.stem not in have and l.stem not in by_stem]
+    if missing:
+        say(f"repair_pair_tree: {len(missing)} label stem(s) have no pool "
+            f"source (first: {missing[:3]}) — not repairing")
+        return False
     copied = 0
     for lbl in lbls:
         if lbl.stem in have:
             continue
-        src = by_stem.get(lbl.stem)
-        if src is None:
-            return False
+        src = by_stem[lbl.stem]
         shutil.copy2(src, img_dir / src.name)
         copied += 1
     if copied:

@@ -8,6 +8,8 @@ _paused_queue (SIGCONT guaranteed via atexit/SIGTERM handlers, ancestry
 protection, descendant re-sweep).
 """
 
+import os
+import signal
 import subprocess
 import sys
 from pathlib import Path
@@ -29,11 +31,23 @@ def main() -> int:
         print(__doc__)
         return 2
     with _paused_queue():
+        # own session: on timeout the WHOLE process group dies, not just the
+        # direct child — a surviving grandchild (spawned JAX/profiler proc)
+        # would keep using the chip after the queue is SIGCONT'd
+        proc = subprocess.Popen(args, start_new_session=True)
         try:
-            return subprocess.run(args, timeout=timeout).returncode
+            return proc.wait(timeout=timeout)
         except subprocess.TimeoutExpired:
-            print(f"[with_queue_paused] timeout after {timeout}s",
-                  file=sys.stderr)
+            print(f"[with_queue_paused] timeout after {timeout}s; killing "
+                  f"process group {proc.pid}", file=sys.stderr)
+            try:
+                os.killpg(proc.pid, signal.SIGTERM)
+                proc.wait(timeout=10)
+            except (subprocess.TimeoutExpired, OSError):
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except OSError:
+                    pass
             return 124
 
 
