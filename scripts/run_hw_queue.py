@@ -35,14 +35,19 @@ STAGES = [
     ("runs/.bench_r4.queue_done",
      [sys.executable, "bench.py"],
      {"env": {"BENCH_TOTAL_DEADLINE_S": "2400"},
-      "commit": ["runs/bench_live.json", "runs/bench_cache_keys.json"]}),
+      # .xla_cache: the executables behind the recorded keys MUST land in
+      # git — round 3 committed only the key list, so the primed cache died
+      # with the workspace and this round's first bench recompiled cold
+      # (85 s calibrator / 81 s detector compiles, cache_hit_miss [1,28])
+      "commit": ["runs/bench_live.json", "runs/bench_cache_keys.json",
+                 ".xla_cache"]}),
     # 1. retrain-schedule A/B on loop_m's frozen merge (round-3 weak #3:
     #    best at ep15 of a 300-ep cosine) — decides the loop_m2/m3 regime
     ("runs/loop_m_ft/ab_result.json",
      [sys.executable, "scripts/ft_retrain_ab.py"],
      {"commit": ["runs/loop_m_ft/ab_result.json", "runs/loop_m_ft/best.json",
                  "runs/loop_m_ft/results.json",
-                 "weights/detector_loop_m_ft.msgpack.gz"]}),
+                 "weights/detector_loop_m_ft.msgpack.gz", ".xla_cache"]}),
     # 2. loop iteration 2: teacher = loop_m retrain (0.5587); regime from
     #    the A/B above.  Target: >= reference 0.5666 mAP50
     ("runs/loop_m2/loop_result.json",
@@ -72,6 +77,11 @@ STAGES = [
       "teacher_release=weights/detector_loop_m2.msgpack.gz"],
      {"commit": ["runs/loop_m3", "weights/detector_loop_m3.msgpack.gz",
                  "weights/detector_loop_m3_snapshot.msgpack.gz"]}),
+    # 6. stretch (round-3 verdict #8): digits ladder with temperature-scaled
+    #    test ECE — cells lacking test_ece_cal re-run automatically
+    ("runs/ssl_digits_ladder/cal.queue_done",
+     [sys.executable, "scripts/run_ssl_digits_ladder.py"],
+     {"commit": ["runs/ssl_digits_ladder"]}),
 ]
 
 

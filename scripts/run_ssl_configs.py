@@ -126,9 +126,17 @@ def main():
                 cfg, d_model, state.d_params, splits.x_unlab,
                 splits.x_val, splits.y_val,
             )
+            # ECE after the framework's own deliverable — the val-fitted
+            # temperature (round-3 verdict #8: raw ECE alone is not the
+            # calibrated system's number)
+            from gcssl_tpu.eval.calibration import apply_temperature
+
+            test_ece_cal = expected_calibration_error(
+                apply_temperature(logits, temp), splits.y_test)
             per_seed.append({
                 "seed": seed,
                 "test_acc": test_acc, "test_ece": test_ece,
+                "test_ece_cal": test_ece_cal,
                 "temperature": float(temp),
                 "pseudo_kept": int(len(idx)),
                 "pseudo_pool": int(len(splits.x_unlab)),
@@ -140,6 +148,7 @@ def main():
 
         accs = np.array([r["test_acc"] for r in per_seed])
         eces = np.array([r["test_ece"] for r in per_seed])
+        eces_cal = np.array([r["test_ece_cal"] for r in per_seed])
         summary = {
             "config": {k: v for k, v in spec.items()},
             "synthetic_hard": True,
@@ -150,6 +159,8 @@ def main():
             "test_acc_std": round(float(accs.std()), 4),
             "test_ece": round(float(eces.mean()), 4),
             "test_ece_std": round(float(eces.std()), 4),
+            "test_ece_cal": round(float(eces_cal.mean()), 4),
+            "test_ece_cal_std": round(float(eces_cal.std()), 4),
             "wall_s": round(time.time() - t0, 1),
             "seeds": per_seed,
         }

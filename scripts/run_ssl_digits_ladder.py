@@ -86,18 +86,37 @@ def run_cell(num_labeled: int, seed: int, epochs: int, compute_dtype: str,
         cfg, splits.x_lab, splits.y_lab, splits.x_unlab,
         splits.x_val, splits.y_val,
     )
+    from gcssl_tpu.eval.calibration import apply_temperature, fit_temperature
+
     classify = make_classify_fn(cfg, d_model)
-    logits = np.concatenate([
-        np.asarray(classify(state.d_params, jnp.asarray(splits.x_test[i:i + 256])))
-        for i in range(0, len(splits.x_test), 256)
-    ])
+
+    def batched_logits(x):
+        return np.concatenate([
+            np.asarray(classify(state.d_params, jnp.asarray(x[i:i + 256])))
+            for i in range(0, len(x), 256)
+        ])
+
+    logits = batched_logits(splits.x_test)
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    # round-3 verdict #8: raw ECE degraded with the label budget (0.106 at
+    # 100 labels) while the 120-epoch single run sat at 0.032 — report the
+    # framework's actual deliverable too: temperature fitted on the shared
+    # 100-image val split (never trained on), applied to test logits
+    val_logits = batched_logits(splits.x_val)
+    temp = fit_temperature(val_logits, splits.y_val)
+    probs_cal = apply_temperature(logits, temp)
     cell = {
         "num_labeled": num_labeled, "seed": seed, "epochs": epochs,
         "test_acc": float((logits.argmax(1) == splits.y_test).mean()),
         "test_ece": expected_calibration_error(probs, splits.y_test),
+        "test_ece_cal": expected_calibration_error(probs_cal, splits.y_test),
+        "temperature": float(temp),
         "wall_s": round(time.time() - t0, 1),
     }
+    # keep logits for offline calibration reanalysis (small: N x 10 f32)
+    np.savez_compressed(out_path.with_suffix(".npz"),
+                        test_logits=logits, val_logits=val_logits,
+                        y_test=splits.y_test, y_val=splits.y_val)
     out_path.write_text(json.dumps(cell, indent=1))
     return cell
 
@@ -115,13 +134,18 @@ def summarize(save_dir: Path) -> dict:
             continue
         accs = np.array([c["test_acc"] for c in cells])
         eces = np.array([c["test_ece"] for c in cells])
-        summary["budgets"][str(budget)] = {
+        row = {
             "n_seeds": len(cells),
             "acc_mean": round(float(accs.mean()), 4),
             "acc_std": round(float(accs.std()), 4),
             "ece_mean": round(float(eces.mean()), 4),
             "ece_std": round(float(eces.std()), 4),
         }
+        cal = [c["test_ece_cal"] for c in cells if "test_ece_cal" in c]
+        if cal:
+            row["ece_cal_mean"] = round(float(np.mean(cal)), 4)
+            row["ece_cal_std"] = round(float(np.std(cal)), 4)
+        summary["budgets"][str(budget)] = row
     return summary
 
 
@@ -135,8 +159,13 @@ def main():
         for seed in SEEDS:
             cell_path = save_dir / f"cell_{budget}_{seed}.json"
             if cell_path.exists():
-                print(f"[ladder] skip {budget}x{seed} (done)", flush=True)
-                continue
+                # a cell from the pre-calibration version of this script is
+                # stale: it lacks the temperature-scaled ECE (round-3 #8)
+                if "test_ece_cal" in json.loads(cell_path.read_text()):
+                    print(f"[ladder] skip {budget}x{seed} (done)", flush=True)
+                    continue
+                print(f"[ladder] re-run {budget}x{seed} (no test_ece_cal)",
+                      flush=True)
             print(f"[ladder] run budget={budget} seed={seed}", flush=True)
             cell = run_cell(budget, seed, epochs, compute_dtype, cell_path)
             print(f"[ladder] {budget}x{seed}: acc {cell['test_acc']:.4f} "
