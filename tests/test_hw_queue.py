@@ -52,8 +52,11 @@ def test_real_stage_list_is_wellformed():
         assert argv[0] == sys.executable
         script = REPO / argv[1]
         assert script.exists(), f"missing stage script {argv[1]}"
-        if opt:  # optional per-stage env overrides
-            assert isinstance(opt[0], dict) and all(
-                isinstance(k, str) and isinstance(v, str)
-                for k, v in opt[0].items()
-            )
+        if opt:  # optional {"env": str->str, "commit": [repo-rel paths]}
+            opts = opt[0]
+            assert isinstance(opts, dict)
+            assert set(opts) <= {"env", "commit"}, f"unknown stage opts {opts}"
+            for k, v in opts.get("env", {}).items():
+                assert isinstance(k, str) and isinstance(v, str)
+            for p in opts.get("commit", []):
+                assert isinstance(p, str) and not Path(p).is_absolute()
