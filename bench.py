@@ -57,7 +57,10 @@ BASELINE_DET_IMGS_PER_SEC = 50.0  # reference teacher train throughput
 # axon tunnel, not compute-bound: detector section 2m55s wall, 24s cpu —
 # runs/sec_det.log).
 SECTION_FLOORS_S = {"calibrator": 120.0, "detector": 90.0,
-                    "detector_tta": 60.0, "served": 30.0}
+                    # the deserialized StableHLO module compiles OUTSIDE the
+                    # persistent jit cache (measured ~200 s, queue paused) —
+                    # budget the real cold cost or the section always skips
+                    "detector_tta": 60.0, "served": 300.0}
 TOTAL_DEADLINE_S = 1260.0  # absolute wall budget from process start
 # Persistent XLA-executable cache in a GIT-TRACKED dir: remote compiles
 # through the tunneled TPU run 4-8 min cold (measured round 3) but ~10 s
@@ -319,20 +322,28 @@ def bench_served() -> dict:
         return {}
     from gcssl_tpu.serve import load_model
 
+    import jax
+
     served = load_model(art)
     s = served.meta["img_size"]
     b = served.meta.get("batch") or 16
     rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 255, (b, s, s, 3)).astype(np.uint8)
+    # device-resident inputs: a host ndarray would re-cross the tunnel every
+    # call (16x640x640x3 u8 ≈ 20 MB ≈ 1 s/step — measures the link, not the
+    # chip; measured 15.7 img/s host-fed vs chip-bound device-fed)
+    imgs = jax.device_put(rng.integers(0, 255, (b, s, s, 3)).astype(np.uint8))
+    t0 = time.perf_counter()
     res = served(imgs)
     np.asarray(res[1][0])  # force remote execution (see bench_calibrator)
+    compile_s = round(time.perf_counter() - t0, 1)
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         res = served(imgs)
     np.asarray(res[1][0])
     dt = time.perf_counter() - t0
-    return {"served_infer_imgs_per_sec": round(n_steps * b / dt, 1)}
+    return {"served_infer_imgs_per_sec": round(n_steps * b / dt, 1),
+            "served_compile_s": compile_s}
 
 
 SECTIONS = {
@@ -599,9 +610,16 @@ def main() -> None:
     except (OSError, ValueError):
         pass
 
+    # `served` is opt-in (BENCH_SERVED=1): its deserialized StableHLO module
+    # compiles outside the persistent jit cache every run, and the cold cost
+    # through the tunnel is unreliable (measured 212 s once, >560 s the next
+    # attempt, queue paused both times) — too volatile for the driver-time
+    # record's critical path
+    names = ["calibrator", "detector", "detector_tta"]
+    if os.environ.get("BENCH_SERVED"):
+        names.append("served")
     with _paused_queue():
-        results = _run_fused(["calibrator", "detector", "detector_tta",
-                              "served"])
+        results = _run_fused(names)
 
     extras: dict = results.pop("_init", {})
     cal = dict(results.pop("calibrator", {}))

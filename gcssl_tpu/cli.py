@@ -36,9 +36,11 @@ def _add_split(sub):
 
 def _add_arch(p):
     """Detector architecture scale flags (s-scale default; the round-2 best
-    run is width 0.75 / depth 0.67 — an 'm'-scale)."""
-    p.add_argument("--width-mult", type=float, default=0.5)
-    p.add_argument("--depth-mult", type=float, default=0.33)
+    run is width 0.75 / depth 0.67 — an 'm'-scale).  Default None = "not
+    explicitly set": config defaults apply, and when loading a release file
+    its recorded architecture wins (_load_detector)."""
+    p.add_argument("--width-mult", type=float, default=None)
+    p.add_argument("--depth-mult", type=float, default=None)
 
 
 def _add_train_detector(sub):
@@ -277,7 +279,7 @@ def _detector_cfg(args):
     kw = {}
     for name in ("img_size", "epochs", "batch_size", "patience", "lr",
                  "width_mult", "depth_mult", "copy_paste", "aug_dtype"):
-        if hasattr(args, name):
+        if getattr(args, name, None) is not None:
             kw[name] = getattr(args, name)
     return DetectorConfig(**kw)
 
@@ -297,10 +299,23 @@ def _load_detector(args):
     )
 
     cfg = _detector_cfg(args)
-    state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
     if is_release_file(args.weights_dir):
-        params, _ = load_release(args.weights_dir)
+        # the release meta records the architecture the params were trained
+        # with (core/release.py extra_meta); it is authoritative unless the
+        # user explicitly passed --width-mult/--depth-mult (a params tree
+        # cannot restore onto a different arch anyway)
+        from dataclasses import replace
+
+        params, meta = load_release(args.weights_dir)
+        arch = {
+            k: float(meta[k]) for k in ("width_mult", "depth_mult")
+            if meta.get(k) is not None and getattr(args, k, None) is None
+        }
+        if arch:
+            cfg = replace(cfg, **arch)
+        _, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
     else:
+        state, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
         mgr = CheckpointManager(args.weights_dir)
         which = "best" if mgr.exists("best") else "last"
         state = mgr.restore(which, jax.device_get(state))

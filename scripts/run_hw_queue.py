@@ -41,6 +41,14 @@ STAGES = [
       # (85 s calibrator / 81 s detector compiles, cache_hit_miss [1,28])
       "commit": ["runs/bench_live.json", "runs/bench_cache_keys.json",
                  ".xla_cache"]}),
+    # 0b. serving artifact for the bench's `served` section (exports/ is
+    #     gitignored — 82 MB of baked params — so a reset-wiped artifact is
+    #     re-exported here; ~2-6 min host-side, no training disruption)
+    ("exports/detector_loop_m.aot",
+     [sys.executable, "-m", "gcssl_tpu.cli", "export-model", "detector",
+      "--weights-dir", "weights/detector_loop_m.msgpack.gz",
+      "--out", "exports/detector_loop_m.aot",
+      "--params-dtype", "bfloat16", "--platforms", "tpu"]),
     # 1. retrain-schedule A/B on loop_m's frozen merge (round-3 weak #3:
     #    best at ep15 of a 300-ep cosine) — decides the loop_m2/m3 regime
     ("runs/loop_m_ft/ab_result.json",

@@ -50,8 +50,12 @@ def test_real_stage_list_is_wellformed():
     for marker, argv, *opt in q.STAGES:
         assert not Path(marker).is_absolute()
         assert argv[0] == sys.executable
-        script = REPO / argv[1]
-        assert script.exists(), f"missing stage script {argv[1]}"
+        if argv[1] == "-m":  # python -m package.module stage
+            mod = REPO / (argv[2].replace(".", "/") + ".py")
+            assert mod.exists(), f"missing stage module {argv[2]}"
+        else:
+            script = REPO / argv[1]
+            assert script.exists(), f"missing stage script {argv[1]}"
         if opt:  # optional {"env": str->str, "commit": [repo-rel paths]}
             opts = opt[0]
             assert isinstance(opts, dict)
