@@ -6,6 +6,12 @@ Any timed measurement on the one chip (profiling, ad-hoc benches) must not
 share it with the queue's training process; this borrows bench.py's
 _paused_queue (SIGCONT guaranteed via atexit/SIGTERM handlers, ancestry
 protection, descendant re-sweep).
+
+KEEP PAUSES SHORT (minutes, not tens of minutes): a SIGSTOPped training
+process cannot service its TPU-tunnel connection, and the remote side drops
+the session after a long freeze — observed round 4 (00:06–00:51): a ~9 min
+pause left the resumed trainer blocked forever inside a dead device call
+until the stall watchdog killed and relaunched the queue (~45 min lost).
 """
 
 import os
