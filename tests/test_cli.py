@@ -137,3 +137,33 @@ class TestHostCommands:
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["check"]["kind"] == "detector_predict"
         assert all(s[0] == 2 for s in res["check"]["out_shapes"])
+
+    def test_load_detector_uses_release_meta_arch(self, tmp_path, capsys):
+        """A release file's recorded width/depth is authoritative when the
+        CLI arch flags are not explicitly given: loading an 0.25-width
+        release with no flags must restore onto the 0.25 arch, not the
+        0.5 default (which raises a param-shape error)."""
+        import jax
+
+        from gcssl_tpu.core.config import DetectorConfig
+        from gcssl_tpu.core.release import save_release
+        from gcssl_tpu.train.detector import create_detector_state, eval_params
+
+        cfg = DetectorConfig(
+            img_size=64, width_mult=0.25, depth_mult=0.33,
+            compute_dtype="float32", max_boxes=8, seed=0,
+        )
+        state, _, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
+        rel = tmp_path / "det.msgpack.gz"
+        save_release(eval_params(cfg, state), rel,
+                     metadata={"width_mult": 0.25, "depth_mult": 0.33})
+
+        out = tmp_path / "det_meta.aot"
+        rc = main([
+            "export-model", "detector", "--weights-dir", str(rel),
+            "--out", str(out), "--img-size", "64",
+            "--platforms", "cpu", "--batch", "2", "--check",
+        ])
+        assert rc == 0 or rc is None
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["check"]["kind"] == "detector_predict"
