@@ -127,6 +127,7 @@ def main():
     do_calibrate = bool(o.pop("calibrate", labels_src != "raw"))
     retrain_epochs = int(o.pop("retrain_epochs", 300))
     conf_low = float(o.pop("conf_low", 0.40))
+    min_recall = float(o.pop("min_recall", 0.10))
     det_cfg = apply_overrides(DetectorConfig(), o)
 
     # ---- load teacher (train-state ckpt dir or params-only release file) ----
@@ -164,15 +165,25 @@ def main():
     if forced_conf_high is not None:
         conf_high = forced_conf_high
     else:
-        eligible = [s for s in sweep if s["precision"] >= target_precision]
+        # precision >= target alone is a knife-edge: round 4's 0.5587
+        # teacher hit P0.86/R0.02 at conf 0.85 — technically "eligible" but
+        # the pseudo-label pool collapses to ~2% of boxes and the retrain
+        # iteration degenerates.  Volume matters as much as purity
+        # (round 3: P0.81/R0.26 at 0.75 -> 4,025 kept images -> +0.022
+        # mAP50), so eligibility also requires a recall floor.
+        eligible = [s for s in sweep if s["precision"] >= target_precision
+                    and s["recall"] >= min_recall]
+        live = [s for s in sweep if s["tp"] + s["fp"] >= 20]
         if eligible:
             conf_high = min(s["conf"] for s in eligible)
+        elif any(s["recall"] >= min_recall for s in live):
+            # no threshold reaches target precision at usable volume: the
+            # highest-precision point that still clears the recall floor
+            conf_high = max((s for s in live if s["recall"] >= min_recall),
+                            key=lambda s: s["precision"])["conf"]
         else:
-            # no threshold reaches the target: take the highest-precision
-            # point that still fires on a non-trivial number of boxes
-            # (a threshold past the model's confidence ceiling selects
-            # nothing and the loop degenerates)
-            live = [s for s in sweep if s["tp"] + s["fp"] >= 20]
+            # confidence ceiling below any usable volume: best-precision
+            # live point (original fallback)
             conf_high = max(live, key=lambda s: s["precision"])["conf"]
     say(f"conf_high={conf_high} (target precision {target_precision}); sweep: "
         + ", ".join(f"{s['conf']}:P{s['precision']:.2f}/R{s['recall']:.2f}"
