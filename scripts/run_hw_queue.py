@@ -63,14 +63,14 @@ STAGES = [
       "teacher=runs/loop_m/retrain",
       "teacher_release=weights/detector_loop_m.msgpack.gz"],
      {"commit": ["runs/loop_m2", "weights/detector_loop_m2.msgpack.gz",
-                 "weights/detector_loop_m2_snapshot.msgpack.gz"]}),
+                 "weights/detector_loop_m2_snapshot.msgpack.gz", ".xla_cache"]}),
     # 3. calibrator question (round-3 verdict #2): detector-level A/B of
     #    raw vs self-calibrated k-fold labels in the sloppy-pair regime
     ("runs/ab_calib/result.json",
      [sys.executable, "scripts/ab_calibrated_retrain.py",
       "det_epochs=100", "patience=25"],
      {"commit": ["runs/ab_calib/result.json",
-                 "weights/calibrator_self_g.msgpack.gz"]}),
+                 "weights/calibrator_self_g.msgpack.gz", ".xla_cache"]}),
     # 4. five BASELINE SSL configs on the HARD synthetic sets (round-3
     #    verdict #3: round-2 rows saturated at acc 1.0; ~40 min measured)
     ("runs/ssl_hard/.queue_done",
@@ -84,7 +84,7 @@ STAGES = [
       "teacher=runs/loop_m2/retrain",
       "teacher_release=weights/detector_loop_m2.msgpack.gz"],
      {"commit": ["runs/loop_m3", "weights/detector_loop_m3.msgpack.gz",
-                 "weights/detector_loop_m3_snapshot.msgpack.gz"]}),
+                 "weights/detector_loop_m3_snapshot.msgpack.gz", ".xla_cache"]}),
     # 6. stretch (round-3 verdict #8): digits ladder with temperature-scaled
     #    test ECE — cells lacking test_ece_cal re-run automatically
     ("runs/ssl_digits_ladder/cal.queue_done",
