@@ -57,10 +57,10 @@ BASELINE_DET_IMGS_PER_SEC = 50.0  # reference teacher train throughput
 # axon tunnel, not compute-bound: detector section 2m55s wall, 24s cpu —
 # runs/sec_det.log).
 SECTION_FLOORS_S = {"calibrator": 120.0, "detector": 90.0,
-                    # the deserialized StableHLO module compiles OUTSIDE the
-                    # persistent jit cache (measured ~200 s, queue paused) —
-                    # budget the real cold cost or the section always skips
-                    "detector_tta": 60.0, "served": 300.0}
+                    # served: ~51 s jitted-module compile (its ~270 MB cache
+                    # entry is deliberately NOT git-tracked — see .gitignore
+                    # jit_call-*) + measure; floor covers the cold path
+                    "detector_tta": 60.0, "served": 180.0}
 TOTAL_DEADLINE_S = 1260.0  # absolute wall budget from process start
 # Persistent XLA-executable cache in a GIT-TRACKED dir: remote compiles
 # through the tunneled TPU run 4-8 min cold (measured round 3) but ~10 s
@@ -610,13 +610,12 @@ def main() -> None:
     except (OSError, ValueError):
         pass
 
-    # `served` is opt-in (BENCH_SERVED=1): its deserialized StableHLO module
-    # compiles outside the persistent jit cache every run, and the cold cost
-    # through the tunnel is unreliable (measured 212 s once, >560 s the next
-    # attempt, queue paused both times) — too volatile for the driver-time
-    # record's critical path
+    # served rejoined the default list once ServedModel jitted its call
+    # wrapper: the bare Exported.call path re-traced per call (15.7 img/s,
+    # 200-560 s volatile compiles); jitted it compiles in ~51 s and serves
+    # 748+ img/s (serve/export.py).  BENCH_SERVED=0 opts out.
     names = ["calibrator", "detector", "detector_tta"]
-    if os.environ.get("BENCH_SERVED"):
+    if os.environ.get("BENCH_SERVED", "1") != "0":
         names.append("served")
     with _paused_queue():
         results = _run_fused(names)
