@@ -64,27 +64,33 @@ STAGES = [
       "teacher_release=weights/detector_loop_m.msgpack.gz"],
      {"commit": ["runs/loop_m2", "weights/detector_loop_m2.msgpack.gz",
                  "weights/detector_loop_m2_snapshot.msgpack.gz", ".xla_cache"]}),
-    # 3. calibrator question (round-3 verdict #2): detector-level A/B of
+    # 3. loop iteration 3 — MOVED before the calibrator A/B after loop_m2
+    #    regressed (0.5378 from a 0.5587 teacher): parity is the round's #1
+    #    item, so it gets the chip first.  run_loop_iter's improvement guard
+    #    picks the best release on record as teacher; conf_high forced to
+    #    the round-3 proven volume point (0.75: P0.81/R0.26 gave +0.022)
+    #    instead of the sweep's max-precision point (0.8) that regressed.
+    ("runs/loop_m3/loop_result.json",
+     [sys.executable, "scripts/run_loop_iter.py", "runs/loop_m3",
+      "teacher=runs/loop_m2/retrain",
+      "teacher_release=weights/detector_loop_m2.msgpack.gz",
+      "conf_high=0.75"],
+     {"commit": ["runs/loop_m3", "weights/detector_loop_m3.msgpack.gz",
+                 "weights/detector_loop_m3_snapshot.msgpack.gz", ".xla_cache"]}),
+    # 4. calibrator question (round-3 verdict #2): detector-level A/B of
     #    raw vs self-calibrated k-fold labels in the sloppy-pair regime
     ("runs/ab_calib/result.json",
      [sys.executable, "scripts/ab_calibrated_retrain.py",
       "det_epochs=100", "patience=25"],
      {"commit": ["runs/ab_calib/result.json",
                  "weights/calibrator_self_g.msgpack.gz", ".xla_cache"]}),
-    # 4. five BASELINE SSL configs on the HARD synthetic sets (round-3
+    # 5. five BASELINE SSL configs on the HARD synthetic sets (round-3
     #    verdict #3: round-2 rows saturated at acc 1.0; ~40 min measured)
     ("runs/ssl_hard/.queue_done",
      [sys.executable, "scripts/run_ssl_configs.py", "seeds=2"],
      {"commit": ["runs/ssl_mnist_100", "runs/ssl_svhn_1000",
                  "runs/ssl_cifar10_4000", "runs/ssl_cifar100_10k",
                  "runs/ssl_imagenet32"]}),
-    # 5. loop iteration 3: teacher = loop_m2 retrain
-    ("runs/loop_m3/loop_result.json",
-     [sys.executable, "scripts/run_loop_iter.py", "runs/loop_m3",
-      "teacher=runs/loop_m2/retrain",
-      "teacher_release=weights/detector_loop_m2.msgpack.gz"],
-     {"commit": ["runs/loop_m3", "weights/detector_loop_m3.msgpack.gz",
-                 "weights/detector_loop_m3_snapshot.msgpack.gz", ".xla_cache"]}),
     # 6. stretch (round-3 verdict #8): digits ladder with temperature-scaled
     #    test ECE — cells lacking test_ece_cal re-run automatically
     ("runs/ssl_digits_ladder/cal.queue_done",

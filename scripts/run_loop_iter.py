@@ -22,6 +22,7 @@ import sys
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
 AB_RESULT = ROOT / "runs" / "loop_m_ft" / "ab_result.json"
 
 SHARED = [
@@ -56,6 +57,30 @@ def main() -> int:
         print(f"[loop_iter] no teacher found ({teacher} / {teacher_release})",
               flush=True)
         return 2
+
+    # IMPROVEMENT GUARD: a chain iteration can regress (round 4: loop_m2
+    # retrained to 0.5378 from a 0.5587 teacher) — pseudo-labeling from the
+    # regressed student would only compound the loss.  Use the best release
+    # on record instead of blindly chaining.
+    def _map50(p: Path) -> float:
+        try:
+            if p.is_dir():
+                import json as _j
+                return float(_j.loads((p / "best.json").read_text())["map50"])
+            from gcssl_tpu.core.release import load_release
+            return float(load_release(p)[1].get("map50") or -1)
+        except Exception:
+            return -1.0
+    cand = {ROOT / weights_dir: _map50(ROOT / weights_dir)}
+    for rel in ROOT.glob("weights/detector_loop_m*.msgpack.gz"):
+        if "snapshot" not in rel.name:
+            cand[rel] = _map50(rel)
+    best_path = max(cand, key=cand.get)
+    if cand[best_path] > cand[ROOT / weights_dir] + 1e-9:
+        print(f"[loop_iter] teacher {weights_dir} map50={cand[ROOT/weights_dir]:.4f} "
+              f"is not the best on record — using {best_path.name} "
+              f"map50={cand[best_path]:.4f}", flush=True)
+        weights_dir = str(best_path.relative_to(ROOT))
 
     if winner == "ft":
         if not (teacher_release and (ROOT / teacher_release).exists()):
