@@ -85,6 +85,41 @@ def repair_pair_tree(root: Path, source_images: Path,
     return pair_tree_ok(root, expect)
 
 
+def select_top_pseudo(labels_dir: Path, out_dir: Path, n: int) -> Path:
+    """Copy ``n`` pseudo label files into ``out_dir``: ranked by mean box
+    confidence when a conf column exists (k-fold labels), otherwise a
+    seed-42 uniform sample (two-stage labels are conf-less — they mirror
+    the reference's no-conf txt format, Two-stage pseudo-labeling.py:27-31).
+    Deterministic either way.  Returns ``out_dir``."""
+    import shutil
+
+    import numpy as np
+
+    scored, have_conf = [], False
+    for txt in sorted(labels_dir.glob("*.txt")):
+        confs = []
+        for line in txt.read_text().splitlines():
+            p = line.split()
+            if len(p) >= 6:
+                confs.append(float(p[5]))
+        if confs:
+            have_conf = True
+        scored.append((-(sum(confs) / len(confs)) if confs else 0.0,
+                       txt.stem, txt))
+    if have_conf:
+        scored.sort()
+        keep = [txt for _, _, txt in scored[:n]]
+    else:
+        order = np.random.default_rng(42).permutation(len(scored))
+        keep = [scored[i][2] for i in order[:n]]
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    out_dir.mkdir(parents=True)
+    for txt in keep:
+        shutil.copy2(txt, out_dir / txt.name)
+    return out_dir
+
+
 def main():
     import jax
 
@@ -128,6 +163,12 @@ def main():
     retrain_epochs = int(o.pop("retrain_epochs", 300))
     conf_low = float(o.pop("conf_low", 0.40))
     min_recall = float(o.pop("min_recall", 0.10))
+    # HBM budget cap: the trainer keeps the whole merge device-resident
+    # (ARCHITECTURE §3); 7,602 images x 640² u8 OOM'd the 16 GB v5e
+    # (round 4, loop_m3 first attempt).  When the pseudo pool exceeds the
+    # cap, keep the top max_pseudo files by mean box confidence.
+    max_pseudo = o.pop("max_pseudo", None)
+    max_pseudo = int(max_pseudo) if max_pseudo is not None else None
     det_cfg = apply_overrides(DetectorConfig(), o)
 
     # ---- load teacher (train-state ckpt dir or params-only release file) ----
@@ -290,8 +331,11 @@ def main():
     if not result_path.exists():
         from gcssl_tpu.pipeline.iterate import merge_labeled_and_pseudo, retrain_on_merged
 
-        if merged_dir.exists() and not pair_tree_ok(merged_dir):
-            # half-wiped leftover from a reset; the merge below rewrites it
+        if merged_dir.exists():
+            # rebuild unconditionally while the loop result is absent: a
+            # surviving tree may be half-wiped OR built under a different
+            # max_pseudo cap — stale extras would silently survive the
+            # re-merge (merge only adds files, never removes)
             import shutil
 
             say(f"stale merged tree under {merged_dir} — rebuilding")
@@ -309,6 +353,13 @@ def main():
             two_dir / "stage2" / "high" / "labels"
             if labels_src == "raw" else calib_labels
         )
+        if max_pseudo is not None:
+            n_all = len(list(retrain_labels.glob("*.txt")))
+            if n_all > max_pseudo:
+                retrain_labels = select_top_pseudo(
+                    retrain_labels, work / "pseudo_capped", max_pseudo)
+                say(f"pseudo cap: kept top {max_pseudo}/{n_all} label files "
+                    f"by mean box confidence -> {retrain_labels}")
         n_merged = merge_labeled_and_pseudo(
             DATA / "train", two_dir / "stage2" / "high" / "images",
             retrain_labels, merged_dir,
