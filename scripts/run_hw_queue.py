@@ -74,9 +74,9 @@ STAGES = [
      [sys.executable, "scripts/run_loop_iter.py", "runs/loop_m3",
       "teacher=runs/loop_m2/retrain",
       "teacher_release=weights/detector_loop_m2.msgpack.gz",
-      # 7,102 pseudo images OOM'd the 16 GB HBM (dataset is device-
-      # resident); cap at 6,000 highest-confidence files (~7.6 GB merge)
-      "conf_high=0.75", "max_pseudo=6000"],
+      # 7,102 AND 6,500-image merges both OOM'd the 16 GB HBM (dataset
+      # is device-resident); 5,396 is the largest proven fit -> cap 4,900
+      "conf_high=0.75", "max_pseudo=4900"],
      {"commit": ["runs/loop_m3", "weights/detector_loop_m3.msgpack.gz",
                  "weights/detector_loop_m3_snapshot.msgpack.gz", ".xla_cache"]}),
     # 4. calibrator question (round-3 verdict #2): detector-level A/B of

@@ -358,8 +358,8 @@ def main():
             if n_all > max_pseudo:
                 retrain_labels = select_top_pseudo(
                     retrain_labels, work / "pseudo_capped", max_pseudo)
-                say(f"pseudo cap: kept top {max_pseudo}/{n_all} label files "
-                    f"by mean box confidence -> {retrain_labels}")
+                say(f"pseudo cap: kept {max_pseudo}/{n_all} label files "
+                    f"(conf-ranked, else seeded sample) -> {retrain_labels}")
         n_merged = merge_labeled_and_pseudo(
             DATA / "train", two_dir / "stage2" / "high" / "images",
             retrain_labels, merged_dir,
