@@ -38,6 +38,16 @@ class DetMetrics:
     precision: float   # P at max-F1 confidence, IoU 0.5
     recall: float      # R at max-F1 confidence, IoU 0.5
     ap_per_iou: np.ndarray
+    # Ultralytics-protocol AP: their TP matching (per-image IoU-sorted
+    # unique assignment, match_predictions) AND their AP formula (trapz
+    # over np.interp of the PR envelope with a leading (recall 0,
+    # precision 1.0) sentinel — compute_ap, method="interp").  The
+    # reference's headline numbers (result/person/results.csv) are
+    # computed with THIS protocol, which reads systematically higher than
+    # strict right-step sampling on the same predictions; comparisons
+    # against the reference must use these fields.
+    map50_u: float = 0.0
+    map50_95_u: float = 0.0
 
 
 def _ap_from_pr(recall: np.ndarray, precision: np.ndarray) -> float:
@@ -53,6 +63,22 @@ def _ap_from_pr(recall: np.ndarray, precision: np.ndarray) -> float:
     idx = np.searchsorted(mrec, x, side="left")
     p = np.where(idx < len(mpre), mpre[np.minimum(idx, len(mpre) - 1)], 0.0)
     return float(p.mean())
+
+
+def _ap_ultralytics(recall: np.ndarray, precision: np.ndarray) -> float:
+    """AP exactly as Ultralytics v8 computes it (utils/metrics.py
+    compute_ap, default method="interp"): monotonic envelope over the PR
+    curve with sentinels (0, 1.0) and (1, 0.0), then trapezoidal
+    integration of the envelope linearly interpolated at 101 recall
+    points.  The linear interpolation between envelope steps (and the
+    leading precision-1.0 sentinel) credit area a right-step sampler does
+    not, so this reads higher than `_ap_from_pr` on identical
+    predictions."""
+    mrec = np.concatenate(([0.0], recall, [1.0]))
+    mpre = np.concatenate(([1.0], precision, [0.0]))
+    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+    x = np.linspace(0, 1, 101)
+    return float(np.trapz(np.interp(x, mrec, mpre), x))
 
 
 def evaluate_detections(
@@ -71,7 +97,31 @@ def evaluate_detections(
 
     ious = [ _iou_matrix(pb, gb) for pb, gb in zip(pred_boxes, gt_boxes) ]
 
-    aps = []
+    # Ultralytics TP assignment (utils/metrics.py match_predictions): per
+    # image, all (pred, gt) pairs with IoU >= thr are sorted by IoU desc,
+    # deduped by pred then by gt (keeping the highest-IoU pair for each) —
+    # matching is IoU-priority, NOT confidence-priority like the strict
+    # loop below.  Flags are indexed by the global confidence order.
+    pos_of = {}
+    for k, (_, i, j) in enumerate(recs):
+        pos_of[(i, j)] = k
+    tp_u = np.zeros((len(recs), len(IOU_THRESHOLDS)))
+    for t_i, thr in enumerate(IOU_THRESHOLDS):
+        for i, iou in enumerate(ious):
+            if not iou.size:
+                continue
+            pairs = np.argwhere(iou >= thr)          # (n, 2) = (pred, gt)
+            if not len(pairs):
+                continue
+            if len(pairs) > 1:
+                order = np.argsort(-iou[pairs[:, 0], pairs[:, 1]])
+                pairs = pairs[order]
+                pairs = pairs[np.unique(pairs[:, 0], return_index=True)[1]]
+                pairs = pairs[np.unique(pairs[:, 1], return_index=True)[1]]
+            for p_idx, _g in pairs:
+                tp_u[pos_of[(i, int(p_idx))], t_i] = 1.0
+
+    aps, aps_u = [], []
     p_at_f1 = r_at_f1 = 0.0
     for t_i, thr in enumerate(IOU_THRESHOLDS):
         matched = [np.zeros(len(g), bool) for g in gt_boxes]
@@ -100,16 +150,27 @@ def evaluate_detections(
         recall = ctp / max(n_gt, 1)
         precision = ctp / np.maximum(ctp + cfp, 1e-9)
         aps.append(_ap_from_pr(recall, precision) if len(recs) else 0.0)
+        if len(recs):
+            ctp_u = np.cumsum(tp_u[:, t_i])
+            cfp_u = np.cumsum(1.0 - tp_u[:, t_i])
+            rec_u = ctp_u / max(n_gt, 1)
+            pre_u = ctp_u / np.maximum(ctp_u + cfp_u, 1e-9)
+            aps_u.append(_ap_ultralytics(rec_u, pre_u))
+        else:
+            aps_u.append(0.0)
         if t_i == 0 and len(recs):
             f1 = 2 * precision * recall / np.maximum(precision + recall, 1e-9)
             k = int(np.argmax(f1))
             p_at_f1, r_at_f1 = float(precision[k]), float(recall[k])
 
     aps = np.asarray(aps)
+    aps_u = np.asarray(aps_u)
     return DetMetrics(
         map50=float(aps[0]),
         map50_95=float(aps.mean()),
         precision=p_at_f1,
         recall=r_at_f1,
         ap_per_iou=aps,
+        map50_u=float(aps_u[0]),
+        map50_95_u=float(aps_u.mean()),
     )

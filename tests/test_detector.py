@@ -216,6 +216,21 @@ class TestMAP:
         m = evaluate_detections(preds, scores, gts)
         assert m.map50 < 1.0
 
+    def test_ultralytics_formula_vs_strict_step(self):
+        """One TP covering half of 2 GT: Ultralytics' trapz-over-interp AP
+        (with the (0, 1.0) sentinel) credits the linear ramp past the last
+        achieved recall — hand value 0.75 — while strict right-step
+        101-point sampling gives 51/101.  The reference's results.csv uses
+        the former; parity comparisons must too."""
+        gts = [np.asarray([[0.5, 0.5, 0.2, 0.2], [0.1, 0.1, 0.05, 0.05]])]
+        preds = [np.asarray([[0.5, 0.5, 0.2, 0.2]])]
+        scores = [np.asarray([0.9])]
+        m = evaluate_detections(preds, scores, gts)
+        assert m.map50 == pytest.approx(51 / 101, abs=1e-6)
+        assert m.map50_u == pytest.approx(0.75, abs=1e-6)
+        assert m.map50_u >= m.map50
+        assert m.map50_95_u >= m.map50_95
+
     def test_localization_quality_separates_iou_thresholds(self):
         gts = [np.asarray([[0.5, 0.5, 0.2, 0.2]])]
         preds = [np.asarray([[0.52, 0.5, 0.2, 0.2]])]  # IoU ~ 0.82
