@@ -93,7 +93,14 @@ STAGES = [
      {"commit": ["runs/ssl_mnist_100", "runs/ssl_svhn_1000",
                  "runs/ssl_cifar10_4000", "runs/ssl_cifar100_10k",
                  "runs/ssl_imagenet32"]}),
-    # 6. stretch (round-3 verdict #8): digits ladder with temperature-scaled
+    # 6. polish fine-tune of the best release on the loop_m3 merge (~25
+    #    min): protocol-matched parity gap is 0.0016 mAP50
+    #    (runs/rescore_val.json) and schedule-A/B gains arrive early
+    ("runs/ft_polish/result.json",
+     [sys.executable, "scripts/ft_polish.py"],
+     {"commit": ["runs/ft_polish/result.json", "runs/ft_polish/best.json",
+                 "weights/detector_polish.msgpack.gz", ".xla_cache"]}),
+    # 7. stretch (round-3 verdict #8): digits ladder with temperature-scaled
     #    test ECE — cells lacking test_ece_cal re-run automatically
     ("runs/ssl_digits_ladder/cal.queue_done",
      [sys.executable, "scripts/run_ssl_digits_ladder.py"],
