@@ -187,6 +187,12 @@ class DetectorConfig:
     fused_opt: bool = True         # one-pass AdamW+EMA update (identical
                                    # math/state to the optax chain; cuts
                                    # optimizer HBM traffic ~2x per step)
+    select: str = "map50"          # best-checkpoint metric: "map50"
+                                   # (strict, historical default) or
+                                   # "fitness" = 0.1*mAP50 + 0.9*mAP50-95
+                                   # under the Ultralytics protocol — the
+                                   # rule Ultralytics' own best.pt uses
+                                   # (reference teacher's selection)
 
 
 @dataclass

@@ -147,9 +147,19 @@ def train_detector(
     dp: int = 1,
     release_path: str | Path | None = None,
     release_min_s: float = 900.0,
+    on_eval=None,
 ):
-    """Epoch loop with warmup+cosine LR and early stop on val mAP50
-    (patience from config, mirroring Ultralytics' patience=20).
+    """Epoch loop with warmup+cosine LR and early stop on the selection
+    metric (``cfg.select``: strict val mAP50, or Ultralytics-protocol
+    fitness 0.1*mAP50 + 0.9*mAP50-95 — the rule behind the reference
+    teacher's best.pt); patience from config, mirroring Ultralytics'
+    patience=20.
+
+    ``on_eval``: optional callback ``(epoch, rec, eval_params_host)``
+    invoked after every val evaluation with the host copy of the params
+    being evaluated (EMA when enabled) — lets callers keep rolling
+    top-k snapshots for post-run checkpoint averaging without the trainer
+    owning that policy.
 
     ``init_from``: path to a .msgpack checkpoint whose top-level dict has a
     'params' entry; any subtree whose name matches the fresh detector params
@@ -256,14 +266,15 @@ def train_detector(
 
     ckpt = CheckpointManager(save_dir) if save_dir else None
     history = []
-    best_map50, bad_epochs = -1.0, 0
+    best_sel, bad_epochs = -1.0, 0
     last_release = _time.monotonic()
     start_epoch = 1
     if resume and ckpt and ckpt.exists("last"):
         state = ckpt.restore("last", jax.device_get(state))
         start_epoch = int(ckpt.metadata("last").get("epoch", 0)) + 1
         if ckpt.exists("best"):
-            best_map50 = float(ckpt.metadata("best").get("map50", -1.0))
+            bm = ckpt.metadata("best")
+            best_sel = float(bm.get("select_value", bm.get("map50", -1.0)))
     gstep = (start_epoch - 1) * steps_per_epoch
     for epoch in range(start_epoch, n_epochs + 1):
         use_mosaic = bool(
@@ -305,12 +316,21 @@ def train_detector(
             rec.update(
                 map50=m.map50, map50_95=m.map50_95,
                 precision=m.precision, recall=m.recall,
+                map50_u=m.map50_u, map50_95_u=m.map50_95_u,
             )
-            if m.map50 > best_map50:
-                best_map50, bad_epochs = m.map50, 0
+            sel = (0.1 * m.map50_u + 0.9 * m.map50_95_u
+                   if cfg.select == "fitness" else m.map50)
+            if on_eval is not None:
+                on_eval(epoch, rec, jax.device_get(eval_params))
+            if sel > best_sel:
+                best_sel, bad_epochs = sel, 0
                 if ckpt:
                     ckpt.save("best", jax.device_get(state),
-                              {"epoch": epoch, "map50": m.map50})
+                              {"epoch": epoch, "map50": m.map50,
+                               "map50_95": m.map50_95,
+                               "map50_u": m.map50_u,
+                               "map50_95_u": m.map50_95_u,
+                               "select": cfg.select, "select_value": sel})
                 if release_path and (
                     _time.monotonic() - last_release >= release_min_s
                 ):

@@ -11,12 +11,14 @@ artifact-gated sub-stages), so the queue can be killed and relaunched at
 any point — run it under ``gcssl_tpu.utils.watchdog`` with ``--probe`` so
 TPU-tunnel outages park the queue instead of burning restarts.
 
-Round-4 order (VERDICT r3 "Next round"): live bench first (fresh record +
-cache prime), then the retrain-schedule A/B, then the loop chain toward
-detector parity (>=0.5666 mAP50), then the calibrator detector-level A/B,
-the hard-set SSL configs, and a final loop_m3 iteration.  Each stage's
-result artifacts are git-committed the moment it lands (round-3 weak #4:
-the round's headline science died untracked at snapshot twice).
+Round-5 order (VERDICT r4 "Next round"): live bench first (fresh record +
+cache prime), then the parity push (fitness selection + GT polish +
+3-seed retrains + within-run checkpoint averaging, target BOTH
+map50_u >= 0.5666 AND map50_95_u >= 0.2088), protocol rescore of every
+release, the calibrated-ECE digits ladder (round-3 carryover), the
+stratified calibration A/B (close the transfer question), the improved
+cifar100 schedule, and a WGAN-step profile for the MFU roofline note.
+Each stage's result artifacts are git-committed the moment it lands.
 """
 
 import subprocess
@@ -32,13 +34,12 @@ STAGES = [
     # 0. fused live bench with wide deadlines: records real numbers in
     #    runs/bench_live.json, writes the touched cache keys, and primes
     #    the local+remote compile caches (round-2 rc=124 failure class)
-    ("runs/.bench_r4.queue_done",
+    ("runs/.bench_r5.queue_done",
      [sys.executable, "bench.py"],
      {"env": {"BENCH_TOTAL_DEADLINE_S": "2400"},
       # .xla_cache: the executables behind the recorded keys MUST land in
       # git — round 3 committed only the key list, so the primed cache died
-      # with the workspace and this round's first bench recompiled cold
-      # (85 s calibrator / 81 s detector compiles, cache_hit_miss [1,28])
+      # with the workspace and round 4's first bench recompiled cold
       "commit": ["runs/bench_live.json", "runs/bench_cache_keys.json",
                  ".xla_cache"]}),
     # 0b. serving artifact for the bench's `served` section (exports/ is
@@ -49,62 +50,42 @@ STAGES = [
       "--weights-dir", "weights/detector_loop_m.msgpack.gz",
       "--out", "exports/detector_loop_m.aot",
       "--params-dtype", "bfloat16", "--platforms", "tpu"]),
-    # 1. retrain-schedule A/B on loop_m's frozen merge (round-3 weak #3:
-    #    best at ep15 of a 300-ep cosine) — decides the loop_m2/m3 regime
-    ("runs/loop_m_ft/ab_result.json",
-     [sys.executable, "scripts/ft_retrain_ab.py"],
-     {"commit": ["runs/loop_m_ft/ab_result.json", "runs/loop_m_ft/best.json",
-                 "runs/loop_m_ft/results.json",
-                 "weights/detector_loop_m_ft.msgpack.gz", ".xla_cache"]}),
-    # 2. loop iteration 2: teacher = loop_m retrain (0.5587); regime from
-    #    the A/B above.  Target: >= reference 0.5666 mAP50
-    ("runs/loop_m2/loop_result.json",
-     [sys.executable, "scripts/run_loop_iter.py", "runs/loop_m2",
-      "teacher=runs/loop_m/retrain",
-      "teacher_release=weights/detector_loop_m.msgpack.gz"],
-     {"commit": ["runs/loop_m2", "weights/detector_loop_m2.msgpack.gz",
-                 "weights/detector_loop_m2_snapshot.msgpack.gz", ".xla_cache"]}),
-    # 3. loop iteration 3 — MOVED before the calibrator A/B after loop_m2
-    #    regressed (0.5378 from a 0.5587 teacher): parity is the round's #1
-    #    item, so it gets the chip first.  run_loop_iter's improvement guard
-    #    picks the best release on record as teacher; conf_high forced to
-    #    the round-3 proven volume point (0.75: P0.81/R0.26 gave +0.022)
-    #    instead of the sweep's max-precision point (0.8) that regressed.
-    ("runs/loop_m3/loop_result.json",
-     [sys.executable, "scripts/run_loop_iter.py", "runs/loop_m3",
-      "teacher=runs/loop_m2/retrain",
-      "teacher_release=weights/detector_loop_m2.msgpack.gz",
-      # 7,102 AND 6,500-image merges both OOM'd the 16 GB HBM (dataset
-      # is device-resident); 5,396 is the largest proven fit -> cap 4,900
-      "conf_high=0.75", "max_pseudo=4900"],
-     {"commit": ["runs/loop_m3", "weights/detector_loop_m3.msgpack.gz",
-                 "weights/detector_loop_m3_snapshot.msgpack.gz", ".xla_cache"]}),
-    # 4. calibrator question (round-3 verdict #2): detector-level A/B of
-    #    raw vs self-calibrated k-fold labels in the sloppy-pair regime
-    ("runs/ab_calib/result.json",
-     [sys.executable, "scripts/ab_calibrated_retrain.py",
-      "det_epochs=100", "patience=25"],
-     {"commit": ["runs/ab_calib/result.json",
-                 "weights/calibrator_self_g.msgpack.gz", ".xla_cache"]}),
-    # 5. five BASELINE SSL configs on the HARD synthetic sets (round-3
-    #    verdict #3: round-2 rows saturated at acc 1.0; ~40 min measured)
-    ("runs/ssl_hard/.queue_done",
-     [sys.executable, "scripts/run_ssl_configs.py", "seeds=2"],
-     {"commit": ["runs/ssl_mnist_100", "runs/ssl_svhn_1000",
-                 "runs/ssl_cifar10_4000", "runs/ssl_cifar100_10k",
-                 "runs/ssl_imagenet32"]}),
-    # 6. polish fine-tune of the best release on the loop_m3 merge (~25
-    #    min): protocol-matched parity gap is 0.0016 mAP50
-    #    (runs/rescore_val.json) and schedule-A/B gains arrive early
-    ("runs/ft_polish/result.json",
-     [sys.executable, "scripts/ft_polish.py"],
-     {"commit": ["runs/ft_polish/result.json", "runs/ft_polish/best.json",
-                 "weights/detector_polish.msgpack.gz", ".xla_cache"]}),
-    # 7. stretch (round-3 verdict #8): digits ladder with temperature-scaled
-    #    test ECE — cells lacking test_ece_cal re-run automatically
+    # 1. THE round-5 headline (VERDICT r4 #1): parity push — fitness
+    #    selection, GT-only polish of the closest releases, 3-seed
+    #    retrains of the frozen loop_m merge, within-run top-k checkpoint
+    #    averaging.  Target: one release with map50_u >= 0.5666 AND
+    #    map50_95_u >= 0.2088.  Job artifacts commit as they land inside
+    #    the script; summary committed here.
+    ("runs/parity/summary.json",
+     [sys.executable, "scripts/parity_push.py"],
+     {"commit": ["runs/parity", "weights", ".xla_cache"]}),
+    # 2. protocol rescore of every detector release (fresh committed
+    #    runs/rescore_val.json including the parity candidates — the
+    #    VERDICT's "done" criterion)
+    ("runs/.rescore_r5.queue_done",
+     [sys.executable, "scripts/rescore_all.py"],
+     {"commit": ["runs/rescore_val.json", ".xla_cache"]}),
+    # 3. round-3 carryover (VERDICT r4 #3): digits ladder cells re-run
+    #    with temperature-scaled test ECE (test_ece_cal)
     ("runs/ssl_digits_ladder/cal.queue_done",
      [sys.executable, "scripts/run_ssl_digits_ladder.py"],
      {"commit": ["runs/ssl_digits_ladder"]}),
+    # 4. stratified calibration A/B (VERDICT r4 #5): apply calibration
+    #    only where the strata say it helps, retrain, compare against the
+    #    round-4 raw arm (0.4374) — closes the transfer question
+    ("runs/ab_calib_strat/result.json",
+     [sys.executable, "scripts/ab_stratified_calib.py"],
+     {"commit": ["runs/ab_calib_strat", ".xla_cache"]}),
+    # 5. cifar100_10k with a real schedule (VERDICT r4 #4): cosine LR,
+    #    longer budget, standard aug, seeds=2
+    ("runs/ssl_cifar100_v2/results.json",
+     [sys.executable, "scripts/run_cifar100_v2.py"],
+     {"commit": ["runs/ssl_cifar100_v2", ".xla_cache"]}),
+    # 6. WGAN fused-step profile for the calibrator MFU roofline note
+    #    (VERDICT r4 #7)
+    ("runs/profile_wgan/summary.json",
+     [sys.executable, "scripts/profile_wgan_step.py"],
+     {"commit": ["runs/profile_wgan/summary.json", ".xla_cache"]}),
 ]
 
 

@@ -81,6 +81,11 @@ def main() -> int:
               f"is not the best on record — using {best_path.name} "
               f"map50={cand[best_path]:.4f}", flush=True)
         weights_dir = str(best_path.relative_to(ROOT))
+        # keep the ft regime consistent with the guard: fine-tuning must
+        # start from the swapped-in best, not the regressed original —
+        # otherwise the guard's pseudo-labels and the ft init disagree
+        if best_path.is_file():
+            teacher_release = weights_dir
 
     if winner == "ft":
         if not (teacher_release and (ROOT / teacher_release).exists()):

@@ -222,10 +222,17 @@ def main():
             # highest-precision point that still clears the recall floor
             conf_high = max((s for s in live if s["recall"] >= min_recall),
                             key=lambda s: s["precision"])["conf"]
-        else:
+        elif live:
             # confidence ceiling below any usable volume: best-precision
             # live point (original fallback)
             conf_high = max(live, key=lambda s: s["precision"])["conf"]
+        else:
+            # totally collapsed teacher: no sweep point reached 20 raw
+            # detections — a diagnosable failure beats a ValueError
+            raise RuntimeError(
+                "PR sweep degenerate: no confidence point yielded >= 20 "
+                f"detections on val (teacher collapse?). Sweep: {sweep}"
+            )
     say(f"conf_high={conf_high} (target precision {target_precision}); sweep: "
         + ", ".join(f"{s['conf']}:P{s['precision']:.2f}/R{s['recall']:.2f}"
                     for s in sweep))

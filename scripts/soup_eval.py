@@ -46,9 +46,15 @@ def main() -> int:
         params, meta = load_release(p)
         trees.append(params)
         metas.append({"path": p, "map50": meta.get("map50"),
-                      "width_mult": meta.get("width_mult")})
+                      "width_mult": meta.get("width_mult"),
+                      "depth_mult": meta.get("depth_mult")})
     wm = float(metas[0].get("width_mult") or 0.75)
-    cfg = DetectorConfig(width_mult=wm, depth_mult=0.67, batch_size=16)
+    dm = float(metas[0].get("depth_mult") or 0.67)
+    # averaging weights across architectures is meaningless — refuse early
+    assert all((m.get("width_mult") or wm, m.get("depth_mult") or dm)
+               == (wm, dm) for m in metas), \
+        f"soup members differ in (width, depth): {metas}"
+    cfg = DetectorConfig(width_mult=wm, depth_mult=dm, batch_size=16)
 
     def avg(*leaves):
         acc = sum(a * np.asarray(l, np.float32) for a, l in zip(alphas, leaves))
