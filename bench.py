@@ -426,6 +426,13 @@ def _child(names: list[str]) -> None:
             res = SECTIONS[name]()
         except Exception as e:  # a failing section must not kill the rest
             res = {"_error": f"{type(e).__name__}: {e}"[:300]}
+        if not res:
+            # section opted out (e.g. no serving artifact on this machine):
+            # a 0.0 wall_s row would read as a measured result (VERDICT r4
+            # weak #6) — record the skip explicitly instead
+            res = {"_section": name, f"{name}_skipped": "no artifact"}
+            print(RESULT_TAG + json.dumps(res), flush=True)
+            continue
         res["_section"] = name
         res[f"{name}_wall_s"] = round(time.monotonic() - ts, 1)
         res[f"{name}_cache_hit_miss"] = [cap.hits - h0, cap.misses - m0]
@@ -641,9 +648,6 @@ def main() -> None:
         }
         if cal_err:  # partial section: numbers real, note preserved
             headline["calibrator_bench_error"] = cal_err
-        # print NOW: if the driver's own timeout kills us, this line is
-        # already in the tail and parseable
-        print(json.dumps(headline), flush=True)
     elif "detector_train_imgs_per_sec" in extras:
         # calibrator failed (cold remote compile can exceed any sane budget
         # when the executable cache is gone): fall back to the detector
@@ -658,7 +662,6 @@ def main() -> None:
             "vs_baseline": extras.pop("detector_train_vs_baseline"),
             "calibrator_bench_error": cal_err,
         }
-        print(json.dumps({**headline, **extras}), flush=True)
 
     live = headline is not None
     if headline is None:
@@ -673,8 +676,9 @@ def main() -> None:
                                                 "in-round record")
         else:
             raise SystemExit(3)
-    if extras:
-        print(json.dumps({**headline, **extras}), flush=True)
+    # THE headline: exactly one unmarked record line per run (the earlier
+    # in-round line is tagged "provisional" — VERDICT r4 weak #6 fix)
+    print(json.dumps({**headline, **extras}), flush=True)
     try:
         os.makedirs(os.path.dirname(LIVE_RECORD), exist_ok=True)
         # a salvaged record KEEPS its original measured_at (round-3 advisor

@@ -218,6 +218,12 @@ class SSLClassifierConfig:
     temperature_scaling: bool = True
     seed: int = 42
     compute_dtype: str = "bfloat16"
+    lr_schedule: str = "const"     # "const" | "cosine" (warmup + cosine to 0)
+    warmup_epochs: int = 0
+    aug: str = "none"              # "none" | "crop" (pad-4 random crop) |
+                                   # "crop_flip" (+ hflip; wrong for digits)
+    patience: int = 0              # early stop on val_acc (0 = off)
+    ckpt_every_epochs: int = 10    # periodic 'last' checkpoint (crash resume)
 
 
 @dataclass

@@ -11,8 +11,13 @@ followed (outside the loop) by temperature-scaled calibration of the
 classifier head for pseudo-labeling (eval/calibration.py).
 
 TPU-first: labeled + unlabeled + latent batches processed in one compiled
-step; data-parallel via the same replicated-params/sharded-batch recipe as
-the calibrator trainer.
+step with HBM-resident data; data-parallel via the calibrator trainer's
+recipe (train/wgan_gp.py): params + resident arrays replicated over the
+mesh 'data' axis, per-step batch *indices* sharded on it — XLA partitions
+the gathered batch and inserts the gradient psum over ICI.  The epoch loop
+carries best/last checkpoints (core/checkpoint.py), crash resume, optional
+early stop on val accuracy, and warmup+cosine LR — none of which the
+reference's classification-SSL analogue has (SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -105,10 +110,32 @@ def make_ssl_train_step(cfg: SSLClassifierConfig, g_model, d_model, tx,
     def step(state: SSLTrainState, x_lab, y_lab, x_unlab, lr):
         return _step_body(state, x_lab, y_lab, x_unlab, lr)
 
+    def _augment(rng, x):
+        """Device-side pad-4 random crop (+ optional hflip): the standard
+        small-image recipe (WRN/CIFAR), fused into the compiled step so the
+        resident arrays stay pristine in HBM."""
+        if cfg.aug == "none":
+            return x
+        r_flip, r_oy, r_ox = jax.random.split(rng, 3)
+        bsz, s, _, c = x.shape
+        if cfg.aug == "crop_flip":
+            flip = jax.random.bernoulli(r_flip, 0.5, (bsz,))
+            x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        pad = 4
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        oy = jax.random.randint(r_oy, (bsz,), 0, 2 * pad + 1)
+        ox = jax.random.randint(r_ox, (bsz,), 0, 2 * pad + 1)
+
+        def crop(img, oy_i, ox_i):
+            return jax.lax.dynamic_slice(img, (oy_i, ox_i, 0), (s, s, c))
+
+        return jax.vmap(crop)(xp, oy, ox)
+
     def _step_body(state: SSLTrainState, x_lab, y_lab, x_unlab, lr):
-        rng, z1_rng, z2_rng, d1_rng, d2_rng, d3_rng, d4_rng = jax.random.split(
-            state.rng, 7
-        )
+        rng, z1_rng, z2_rng, d1_rng, d2_rng, d3_rng, d4_rng, a1_rng, a2_rng = \
+            jax.random.split(state.rng, 9)
+        x_lab = _augment(a1_rng, x_lab)
+        x_unlab = _augment(a2_rng, x_unlab)
         b = x_unlab.shape[0]
         z_d = jax.random.normal(z1_rng, (b, cfg.latent_dim))
         z_g = jax.random.normal(z2_rng, (b, cfg.latent_dim))
@@ -199,43 +226,116 @@ def train_ssl_classifier(
     y_val: np.ndarray | None = None,
     log_fn=None,
     max_epochs: int | None = None,
+    save_dir=None,
+    resume: bool = False,
+    mesh=None,
+    dp: int = 0,
 ):
     """Epoch loop; returns (state, models, history).  Accuracy/ECE computed
-    per epoch when a validation split is given."""
+    per epoch when a validation split is given.
+
+    ``dp``: data-parallel width (0 = single device).  Params + resident
+    arrays are replicated over a 1-D 'data' mesh and per-step batch indices
+    sharded on it — identical math to dp=0, gradient psum over ICI.
+    ``save_dir``: enables best (val_acc) + periodic 'last' checkpoints
+    (core/checkpoint.py); ``resume=True`` restores 'last' and continues.
+    ``cfg.patience`` > 0 adds early stop on val accuracy."""
     from gcssl_tpu.eval.calibration import expected_calibration_error
 
     state, g_model, d_model, tx = create_ssl_state(cfg, jax.random.PRNGKey(cfg.seed))
     step_fn = make_ssl_train_step(cfg, g_model, d_model, tx, resident=True)
     classify = make_classify_fn(cfg, d_model)
 
+    repl = dsh = None
+    if dp and dp > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        if mesh is None:
+            devs = jax.devices()
+            if len(devs) < dp:
+                raise ValueError(f"dp={dp} needs {dp} devices, have {len(devs)}")
+            mesh = Mesh(np.asarray(devs[:dp]), ("data",))
+        if cfg.batch_size % dp:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by dp={dp}")
+        repl = NamedSharding(mesh, P())
+        dsh = NamedSharding(mesh, P("data"))
+        state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+
     rng = np.random.default_rng(cfg.seed)
     nl, nu = len(x_lab), len(x_unlab)
     bs = cfg.batch_size
     # one-time upload; every step gathers its batches by index on device
-    x_lab_dev = jnp.asarray(x_lab)
-    y_lab_dev = jnp.asarray(y_lab, jnp.int32)
-    x_unlab_dev = jnp.asarray(x_unlab)
+    _put = (lambda x: jax.device_put(x, repl)) if repl is not None else jnp.asarray
+    x_lab_dev = _put(jnp.asarray(x_lab))
+    y_lab_dev = _put(jnp.asarray(y_lab, jnp.int32))
+    x_unlab_dev = _put(jnp.asarray(x_unlab))
+    _idx = (lambda a: jax.device_put(jnp.asarray(a, jnp.int32), dsh)) \
+        if dsh is not None else (lambda a: jnp.asarray(a, jnp.int32))
     steps_per_epoch = max(1, nu // bs)
-    history = []
-    for epoch in range(1, (max_epochs or cfg.epochs) + 1):
+    n_epochs = max_epochs or cfg.epochs
+
+    def lr_at(epoch: int) -> float:
+        if cfg.lr_schedule != "cosine":
+            return cfg.lr
+        if cfg.warmup_epochs and epoch <= cfg.warmup_epochs:
+            return cfg.lr * epoch / cfg.warmup_epochs
+        t = (epoch - cfg.warmup_epochs) / max(1, n_epochs - cfg.warmup_epochs)
+        return cfg.lr * 0.5 * (1.0 + float(np.cos(np.pi * min(t, 1.0))))
+
+    ckpt = None
+    history: list[dict] = []
+    best_acc, bad_epochs, start_epoch = -1.0, 0, 1
+    if save_dir is not None:
+        from pathlib import Path
+
+        from gcssl_tpu.core.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(Path(save_dir))
+        if resume and ckpt.exists("last"):
+            state = ckpt.restore("last", jax.device_get(state))
+            if repl is not None:
+                state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+            meta = ckpt.metadata("last")
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            bad_epochs = int(meta.get("bad_epochs", 0))
+            if ckpt.exists("best"):
+                best_acc = float(ckpt.metadata("best").get("val_acc", -1.0))
+            hist_path = Path(save_dir) / "history.json"
+            if hist_path.exists():
+                import json as _json
+
+                history = _json.loads(hist_path.read_text())
+
+    # advance the host batch-index stream to the resume point so a resumed
+    # run sees the same index sequence an uninterrupted one would
+    for _ in range((start_epoch - 1) * steps_per_epoch):
+        rng.integers(0, nl, bs)
+        rng.integers(0, nu, bs)
+
+    for epoch in range(start_epoch, n_epochs + 1):
         accum = []
+        lr = lr_at(epoch)
         for _ in range(steps_per_epoch):
-            li = jnp.asarray(rng.integers(0, nl, bs), jnp.int32)
-            ui = jnp.asarray(rng.integers(0, nu, bs), jnp.int32)
+            li = _idx(rng.integers(0, nl, bs))
+            ui = _idx(rng.integers(0, nu, bs))
             state, metrics = step_fn(
                 state, x_lab_dev, y_lab_dev, x_unlab_dev, li, ui,
-                jnp.float32(cfg.lr),
+                jnp.float32(lr),
             )
             accum.append(metrics)
         fetched = jax.device_get(accum)
-        rec = {"epoch": epoch}
+        rec = {"epoch": epoch, "lr": lr}
         rec.update(
             {k: float(np.mean([m[k] for m in fetched])) for k in fetched[0]}
         )
         if x_val is not None:
+            d_eval = state.d_params
+            if repl is not None:
+                d_eval = jax.device_get(d_eval)
             logits = np.concatenate(
                 [
-                    np.asarray(classify(state.d_params, jnp.asarray(x_val[i : i + 256])))
+                    np.asarray(classify(d_eval, jnp.asarray(x_val[i : i + 256])))
                     for i in range(0, len(x_val), 256)
                 ]
             )
@@ -243,9 +343,35 @@ def train_ssl_classifier(
             probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
             rec["val_acc"] = float((pred == y_val).mean())
             rec["val_ece"] = expected_calibration_error(probs, y_val)
+            if rec["val_acc"] > best_acc:
+                best_acc, bad_epochs = rec["val_acc"], 0
+                if ckpt:
+                    ckpt.save("best", jax.device_get(state),
+                              {"epoch": epoch, "val_acc": rec["val_acc"],
+                               "val_ece": rec["val_ece"]})
+            else:
+                bad_epochs += 1
         history.append(rec)
         if log_fn:
             log_fn(rec)
+        if ckpt and (epoch % max(1, cfg.ckpt_every_epochs) == 0
+                     or epoch == n_epochs):
+            import json as _json
+            from pathlib import Path
+
+            ckpt.save("last", jax.device_get(state),
+                      {"epoch": epoch, "bad_epochs": bad_epochs})
+            (Path(save_dir) / "history.json").write_text(
+                _json.dumps(history))
+        if cfg.patience and x_val is not None and bad_epochs >= cfg.patience:
+            break
+    if ckpt and history:
+        import json as _json
+        from pathlib import Path
+
+        ckpt.save("last", jax.device_get(state),
+                  {"epoch": history[-1]["epoch"], "bad_epochs": bad_epochs})
+        (Path(save_dir) / "history.json").write_text(_json.dumps(history))
     return state, (g_model, d_model), history
 
 

@@ -90,6 +90,12 @@ _SLOW_TESTS = {
     "TestHostCommands::test_export_model_main",
     "TestPretrain::test_reconstruction_loss_decreases",
     "TestReleaseSnapshots::test_bf16_snapshot_grafts_back_to_f32_state",
+    # round-5 SSL framework-grade additions (each compiles a fresh step)
+    "TestTraining::test_dp_runs_and_learns",
+    "TestTraining::test_checkpoint_resume_continues",
+    "TestTraining::test_early_stop_on_patience",
+    "TestTraining::test_aug_step_finite_and_shapes",
+    "TestTraining::test_cosine_lr_schedule_decays",
 }
 
 

@@ -159,6 +159,73 @@ class TestTraining:
         accs = [h["val_acc"] for h in history]
         assert accs[-1] > 0.5, f"should beat 25% chance clearly: {accs}"
 
+    def test_dp_runs_and_learns(self, splits):
+        # 8-way data parallel on the CPU mesh (conftest): replicated
+        # params, sharded batch indices; same mechanics as single-device
+        cfg = tiny_cfg(epochs=4, lr=1e-3)
+        state, models, history = train_ssl_classifier(
+            cfg, splits.x_lab, splits.y_lab, splits.x_unlab,
+            splits.x_val, splits.y_val, dp=8,
+        )
+        assert history[-1]["val_acc"] > 0.5, history[-1]
+        assert np.isfinite(history[-1]["loss_D"])
+
+    def test_dp_batch_size_must_divide(self, splits):
+        cfg = tiny_cfg(batch_size=30)
+        with pytest.raises(ValueError, match="not divisible"):
+            train_ssl_classifier(
+                cfg, splits.x_lab, splits.y_lab, splits.x_unlab, dp=8,
+            )
+
+    def test_checkpoint_resume_continues(self, splits, tmp_path):
+        cfg = tiny_cfg(epochs=4, lr=1e-3, ckpt_every_epochs=1)
+        _, _, h1 = train_ssl_classifier(
+            cfg, splits.x_lab, splits.y_lab, splits.x_unlab,
+            splits.x_val, splits.y_val, save_dir=tmp_path, max_epochs=2,
+        )
+        assert h1[-1]["epoch"] == 2
+        # resume picks up at epoch 3 with prior history preserved
+        _, _, h2 = train_ssl_classifier(
+            cfg, splits.x_lab, splits.y_lab, splits.x_unlab,
+            splits.x_val, splits.y_val, save_dir=tmp_path, resume=True,
+        )
+        assert [r["epoch"] for r in h2] == [1, 2, 3, 4]
+        assert h2[:2] == h1[:2]
+        best = (tmp_path / "best.json")
+        assert best.exists()
+
+    def test_early_stop_on_patience(self, splits):
+        # patience 1 with lr 0: val_acc can never improve after epoch 1
+        cfg = tiny_cfg(epochs=10, lr=0.0, patience=1)
+        _, _, hist = train_ssl_classifier(
+            cfg, splits.x_lab, splits.y_lab, splits.x_unlab,
+            splits.x_val, splits.y_val,
+        )
+        assert hist[-1]["epoch"] <= 3, [r["epoch"] for r in hist]
+
+    def test_aug_step_finite_and_shapes(self, splits):
+        cfg = tiny_cfg(aug="crop_flip")
+        state, g_model, d_model, tx = create_ssl_state(cfg, jax.random.PRNGKey(0))
+        step = make_ssl_train_step(cfg, g_model, d_model, tx)
+        state, metrics = step(
+            state,
+            jnp.asarray(splits.x_lab[:32]),
+            jnp.asarray(splits.y_lab[:32], jnp.int32),
+            jnp.asarray(splits.x_unlab[:32]),
+            jnp.float32(3e-4),
+        )
+        for k, v in jax.device_get(metrics).items():
+            assert np.isfinite(v), k
+
+    def test_cosine_lr_schedule_decays(self, splits):
+        cfg = tiny_cfg(epochs=4, lr_schedule="cosine", warmup_epochs=1)
+        _, _, hist = train_ssl_classifier(
+            cfg, splits.x_lab, splits.y_lab, splits.x_unlab,
+        )
+        lrs = [r["lr"] for r in hist]
+        assert lrs[0] == pytest.approx(cfg.lr)          # warmup end
+        assert lrs[-1] < lrs[1] and lrs[-1] >= 0.0      # decays toward 0
+
     def test_pseudo_labeling(self, splits):
         cfg = tiny_cfg(epochs=5, lr=1e-3)
         state, (g_model, d_model), _ = train_ssl_classifier(
