@@ -40,7 +40,8 @@ class MeshConfig:
 class CalibratorModelConfig:
     """Generator/critic architecture (config.yaml:19-21, models.py)."""
 
-    generator_type: str = "unet"  # "unet" | "simple"
+    generator_type: str = "unet"  # "unet" | "simple" | "vit"
+    discriminator_type: str = "patch"  # "patch" (70x70 PatchGAN) | "vit"
     delta_scale: float = 0.3
     spectral_norm: bool = True
     base_channels: int = 64

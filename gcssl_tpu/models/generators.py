@@ -84,7 +84,12 @@ class GeneratorSimpleRegressor(nn.Module):
 
 
 def build_generator(generator_type: str, delta_scale: float, dtype=jnp.float32):
-    """Factory matching /root/reference/cgan/cgan_train_enhanced.py:26-31."""
+    """Factory matching /root/reference/cgan/cgan_train_enhanced.py:26-31,
+    plus the bytecode-only ViT variant (models/vit_gan.py)."""
     if generator_type == "simple":
         return GeneratorSimpleRegressor(delta_scale=delta_scale, dtype=dtype)
+    if generator_type == "vit":
+        from gcssl_tpu.models.vit_gan import GeneratorViT
+
+        return GeneratorViT(delta_scale=delta_scale, dtype=dtype)
     return GeneratorUNet(delta_scale=delta_scale, dtype=dtype)

@@ -117,7 +117,12 @@ def create_train_state(
     """Initialize G, D, and both optimizers. Returns (state, g_model, d_model)."""
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
     g_model = build_generator(cfg.model.generator_type, cfg.model.delta_scale, dtype)
-    d_model = PatchCritic(spectral_norm=cfg.model.spectral_norm, dtype=dtype)
+    if getattr(cfg.model, "discriminator_type", "patch") == "vit":
+        from gcssl_tpu.models.vit_gan import CriticViT
+
+        d_model = CriticViT(dtype=dtype)
+    else:
+        d_model = PatchCritic(spectral_norm=cfg.model.spectral_norm, dtype=dtype)
 
     s = cfg.data.img_size
     tx = _make_optimizer(cfg.train.grad_clip_norm, cfg.train.beta1, cfg.train.beta2)

@@ -116,3 +116,62 @@ class TestPatchCritic:
             not np.allclose(np.asarray(a), np.asarray(b))
             for a, b in zip(before, after)
         )
+
+
+class TestViTGAN:
+    """Bytecode-only reference variant rebuilt TPU-native
+    (models/vit_gan.py; /root/reference/cgan/__pycache__/
+    model_trans.cpython-313.pyc — Generator_ViT / Discriminator_ViT)."""
+
+    def test_generator_shapes_and_scale(self):
+        from gcssl_tpu.models.vit_gan import GeneratorViT
+
+        g = GeneratorViT(delta_scale=0.3, embed_dim=64, depth=2, num_heads=2)
+        x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)),
+                        jnp.float32)
+        params = g.init(jax.random.PRNGKey(0), x)["params"]
+        out = g.apply({"params": params}, x)
+        assert out.shape == (2, 4)
+        assert float(jnp.abs(out).max()) <= 0.3 + 1e-6  # tanh * delta_scale
+
+    def test_critic_cls_head_and_pair_sensitivity(self):
+        from gcssl_tpu.models.vit_gan import CriticViT
+
+        d = CriticViT(embed_dim=64, depth=2, num_heads=2)
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+        b = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+        params = d.init(jax.random.PRNGKey(0), a, b)["params"]
+        s_ab = d.apply({"params": params}, a, b)
+        s_aa = d.apply({"params": params}, a, a)
+        assert s_ab.shape == (2, 1)
+        # the critic must read the OTHER patch, not just pred
+        assert not np.allclose(np.asarray(s_ab), np.asarray(s_aa))
+
+    def test_critic_supports_second_order_grads(self):
+        # WGAN-GP differentiates the critic twice; ViT path has no
+        # custom_vjp so jvp-of-vjp must work
+        from gcssl_tpu.models.vit_gan import CriticViT
+
+        d = CriticViT(embed_dim=32, depth=1, num_heads=2)
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+        params = d.init(jax.random.PRNGKey(0), a, a)["params"]
+
+        def critic_sum(x):
+            return jnp.sum(d.apply({"params": params}, x, x))
+
+        def gp(x):
+            g = jax.grad(critic_sum)(x)
+            return jnp.sum(jnp.sqrt(jnp.sum(g**2) + 1e-12))
+
+        val, grads = jax.value_and_grad(
+            lambda x: gp(x))(a)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grads)).all()
+
+    def test_factory_selects_vit(self):
+        from gcssl_tpu.models.generators import build_generator
+        from gcssl_tpu.models.vit_gan import GeneratorViT
+
+        assert isinstance(build_generator("vit", 0.3), GeneratorViT)
