@@ -86,6 +86,18 @@ STAGES = [
     ("runs/profile_wgan/summary.json",
      [sys.executable, "scripts/profile_wgan_step.py"],
      {"commit": ["runs/profile_wgan/summary.json", ".xla_cache"]}),
+    # 7. flagship serving artifact: AOT-export the parity release so the
+    #    bench's `served` section measures the shipped best model
+    ("exports/detector_parity_gtp_m.aot",
+     [sys.executable, "-m", "gcssl_tpu.cli", "export-model", "detector",
+      "--weights-dir", "weights/detector_parity_gtp_m.msgpack.gz",
+      "--out", "exports/detector_parity_gtp_m.aot",
+      "--params-dtype", "bfloat16", "--platforms", "tpu"]),
+    # 8. once-per-round FULL test suite (CPU-only; ~45 min on the 1-core
+    #    box) with a committed machine-readable summary (VERDICT r4 #6)
+    ("runs/test_suite_r5.json",
+     [sys.executable, "scripts/run_full_tests.py"],
+     {"commit": ["runs/test_suite_r5.json"]}),
 ]
 
 
