@@ -24,10 +24,20 @@ def main() -> int:
     if not releases:
         print("no releases found", flush=True)
         return 2
-    argv = [sys.executable, "scripts/rescore_val.py", out]
-    argv += [f"w={p.relative_to(ROOT)}" for p in releases]
+    ws = [f"w={p.relative_to(ROOT)}" for p in releases]
     print(f"rescoring {len(releases)} releases -> {out}", flush=True)
-    return subprocess.run(argv, cwd=ROOT).returncode
+    rc = subprocess.run(
+        [sys.executable, "scripts/rescore_val.py", out, *ws], cwd=ROOT
+    ).returncode
+    if rc:
+        return rc
+    # supplementary: the held-out TEST split (never used for selection) for
+    # the parity releases — generalization evidence beyond the val protocol
+    parity = [w for w in ws if "parity" in w] or ws[:1]
+    return subprocess.run(
+        [sys.executable, "scripts/rescore_val.py", "runs/rescore_test.json",
+         *parity, "split=test"], cwd=ROOT
+    ).returncode
 
 
 if __name__ == "__main__":

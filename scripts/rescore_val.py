@@ -1,6 +1,7 @@
-"""Re-score detector releases on val under BOTH AP formulas.
+"""Re-score detector releases on val (or another split) under BOTH AP formulas.
 
 Usage: python scripts/rescore_val.py out.json w=weights/a.msgpack.gz [w=...]
+           [split=val|test]
 
 The committed history's map50/map50_95 numbers use strict 101-point
 right-step AP (eval/map.py:_ap_from_pr).  The reference's headline numbers
@@ -32,6 +33,8 @@ def main() -> int:
 
     out_path = Path(sys.argv[1])
     paths = [a.split("=", 1)[1] for a in sys.argv[2:] if a.startswith("w=")]
+    split = next((a.split("=", 1)[1] for a in sys.argv[2:]
+                  if a.startswith("split=")), "val")
 
     rows = []
     predict = model = None
@@ -46,7 +49,7 @@ def main() -> int:
             _, model, _ = create_detector_state(cfg, jax.random.PRNGKey(0))
             predict = make_detector_predict(cfg, model, max_out=300,
                                             pre_nms_topk=700)
-            val = load_detection_tree(DATA / "val", cfg.img_size, cfg.max_boxes)
+            val = load_detection_tree(DATA / split, cfg.img_size, cfg.max_boxes)
         t0 = time.time()
         m = evaluate_on(predict, params, val)
         rows.append({
@@ -58,8 +61,9 @@ def main() -> int:
         print(json.dumps(rows[-1]), flush=True)
     ref = {"map50": 0.5666, "map50_95": 0.2088,
            "source": "/root/reference/result/person/results.csv rows 86/102 "
-                     "(Ultralytics-formula numbers)"}
-    out = {"reference": ref, "models": rows}
+                     "(Ultralytics-formula numbers; VAL-split numbers — the "
+                     "reference never reports test)"}
+    out = {"reference": ref, "split": split, "models": rows}
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_text(json.dumps(out, indent=1))
     return 0

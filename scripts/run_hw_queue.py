@@ -93,6 +93,20 @@ STAGES = [
       "--weights-dir", "weights/detector_parity_gtp_m.msgpack.gz",
       "--out", "exports/detector_parity_gtp_m.aot",
       "--params-dtype", "bfloat16", "--platforms", "tpu"]),
+    # 7b. ViT-GAN hardware validation: short real-pair training run of the
+    #     bytecode-only variant rebuilt in models/vit_gan.py — records
+    #     ΔIoU + throughput so the variant ships exercised, not just
+    #     unit-tested
+    ("runs/calib_vit/.queue_done",
+     [sys.executable, "-m", "gcssl_tpu.cli", "train-calibrator",
+      "--data-dir", "/root/reference/datasets/500_100_100/cgan",
+      "--save-dir", "runs/calib_vit", "--config",
+      "configs/calibrator_r2.yaml", "--generator-type", "vit",
+      "--discriminator-type", "vit", "--epochs", "40",
+      "--cache-dir", "runs/calib_vit/cache", "--resume",
+      "--release", "weights/calibrator_vit_g.msgpack.gz"],
+     {"commit": ["runs/calib_vit/training_history.json",
+                 "weights/calibrator_vit_g.msgpack.gz", ".xla_cache"]}),
     # 8. once-per-round FULL test suite (CPU-only; ~45 min on the 1-core
     #    box) with a committed machine-readable summary (VERDICT r4 #6)
     ("runs/test_suite_r5.json",
