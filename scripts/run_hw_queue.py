@@ -64,7 +64,7 @@ STAGES = [
     #    VERDICT's "done" criterion)
     ("runs/.rescore_r5.queue_done",
      [sys.executable, "scripts/rescore_all.py"],
-     {"commit": ["runs/rescore_val.json", ".xla_cache"]}),
+     {"commit": ["runs/rescore_val.json", "runs/rescore_test.json", ".xla_cache"]}),
     # 3. round-3 carryover (VERDICT r4 #3): digits ladder cells re-run
     #    with temperature-scaled test ECE (test_ece_cal)
     ("runs/ssl_digits_ladder/cal.queue_done",
