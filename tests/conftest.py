@@ -90,6 +90,7 @@ _SLOW_TESTS = {
     "TestHostCommands::test_export_model_main",
     "TestPretrain::test_reconstruction_loss_decreases",
     "TestReleaseSnapshots::test_bf16_snapshot_grafts_back_to_f32_state",
+    "TestFitnessSelection::test_fitness_select_and_on_eval",
     # round-5 SSL framework-grade additions (each compiles a fresh step)
     "TestTraining::test_dp_runs_and_learns",
     "TestTraining::test_checkpoint_resume_continues",

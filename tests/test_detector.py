@@ -690,3 +690,52 @@ class TestFusedOptimizer:
             traj[name] = losses
         np.testing.assert_allclose(traj["fused"], traj["ref"],
                                    rtol=1e-4, atol=1e-6)
+
+
+class TestFitnessSelection:
+    """Round-5: best-checkpoint selection by Ultralytics fitness
+    (0.1*mAP50_u + 0.9*mAP50-95_u) and the on_eval snapshot hook
+    (pipeline/detect.py train_detector)."""
+
+    def _arrays(self, n=6, s=64):
+        from gcssl_tpu.data.detection import DetectionArrays
+
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 255, (n, s, s, 3), dtype=np.uint8)
+        boxes = np.zeros((n, 8, 4), np.float32)
+        mask = np.zeros((n, 8), bool)
+        boxes[:, 0] = [0.5, 0.5, 0.3, 0.4]
+        mask[:, 0] = True
+        return DetectionArrays(
+            images=imgs, boxes=boxes, cls=np.zeros((n, 8), np.int32),
+            mask=mask, orig_wh=np.full((n, 2), s, np.float32),
+            names=[f"i{k}" for k in range(n)], img_size=s,
+        )
+
+    def test_fitness_select_and_on_eval(self, tmp_path):
+        from gcssl_tpu.pipeline.detect import train_detector
+
+        cfg = small_cfg(
+            img_size=64, epochs=2, batch_size=4, patience=5,
+            warmup_epochs=1, mosaic=False, max_boxes=8, mosaic_max_boxes=16,
+            select="fitness", ema_decay=0.99,
+        )
+        arr = self._arrays()
+        seen = []
+
+        def on_eval(epoch, rec, params_host):
+            # host copy of the evaluated (EMA) params, every epoch
+            assert isinstance(params_host, dict)
+            seen.append((epoch, rec["map50_u"], rec["map50_95_u"]))
+
+        _, _, hist = train_detector(
+            cfg, arr, arr, save_dir=tmp_path, on_eval=on_eval,
+        )
+        assert len(seen) == 2
+        assert {"map50_u", "map50_95_u"} <= set(hist[-1])
+        import json as _json
+
+        meta = _json.loads((tmp_path / "best.json").read_text())
+        assert meta["select"] == "fitness"
+        assert meta["select_value"] == pytest.approx(
+            0.1 * meta["map50_u"] + 0.9 * meta["map50_95_u"])
