@@ -131,7 +131,10 @@ def _add_train_calibrator(sub):
     p.add_argument("--data-dir", required=True)
     p.add_argument("--save-dir", required=True)
     p.add_argument("--config", default=None, help="YAML overriding defaults")
-    p.add_argument("--generator-type", default=None, choices=["unet", "simple"])
+    p.add_argument("--generator-type", default=None,
+                   choices=["unet", "simple", "vit"])
+    p.add_argument("--discriminator-type", default=None,
+                   choices=["patch", "vit"])
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--cache-dir", default=None)
@@ -426,6 +429,8 @@ def main(argv=None) -> int:
         over = {"data.data_dir": args.data_dir, "train.save_dir": args.save_dir}
         if args.generator_type:
             over["model.generator_type"] = args.generator_type
+        if args.discriminator_type:
+            over["model.discriminator_type"] = args.discriminator_type
         if args.epochs:
             over["train.n_epochs"] = args.epochs
         if args.batch_size:
